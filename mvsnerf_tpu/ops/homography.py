@@ -1,0 +1,167 @@
+"""Plane-sweep homography warping and the cross-view variance cost volume.
+
+TPU-native redesign of the reference's `homo_warp` (utils.py:580-630) and
+`MVSNet.build_volume_costvar_img` (models.py:839-893). Rather than looping
+over source views with per-view materialized warps, the sweep is expressed as
+one batched gather over (V-1, D, H_pad, W_pad) that XLA fuses with the
+running mean/variance accumulation.
+
+Geometry: for reference pixel (x, y) on depth plane d, the source-view pixel
+is  p_src ∝ R @ [x, y, 1]^T + T / d  with  [R | T] = src_proj @ ref_proj_inv
+(a 3x4 matrix at the stride-4 feature scale). Coordinates are normalized to
+[-1, 1] by the *unpadded* feature extent (W-1)/2, (H-1)/2 and sampled with
+zeros padding, align_corners=True — exactly the reference semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .interp import grid_sample_2d
+
+
+def plane_sweep_grid(proj_mat, depth_values, h: int, w: int, pad: int = 0):
+    """Normalized source-view sampling grid for every (depth, ref-pixel).
+
+    Args:
+        proj_mat: (3, 4) = src_proj @ ref_proj_inv at feature scale.
+        depth_values: (D,) depth of each sweep plane.
+        h, w: unpadded feature height/width.
+        pad: symmetric ref-grid padding in feature pixels.
+
+    Returns:
+        grid: (D, h + 2*pad, w + 2*pad, 2) normalized (x, y) in src view.
+    """
+    hp, wp = h + 2 * pad, w + 2 * pad
+    xs = jnp.arange(wp, dtype=jnp.float32) - pad
+    ys = jnp.arange(hp, dtype=jnp.float32) - pad
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")  # (hp, wp)
+    ref = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=0).reshape(3, -1)
+
+    rot = proj_mat[:, :3] @ ref  # (3, hp*wp)
+    trans = proj_mat[:, 3:]      # (3, 1)
+    # (D, 3, hp*wp): R@p + T/d per plane.
+    src = rot[None] + trans[None] / depth_values[:, None, None]
+    xy = src[:, :2] / src[:, 2:3]
+    gx = xy[:, 0] / ((w - 1) / 2.0) - 1.0
+    gy = xy[:, 1] / ((h - 1) / 2.0) - 1.0
+    return jnp.stack([gx, gy], axis=-1).reshape(-1, hp, wp, 2)
+
+
+def homo_warp(src_feat, proj_mat, depth_values, pad: int = 0, grid=None):
+    """Warp one source feature map onto D fronto-parallel planes.
+
+    Args:
+        src_feat: (h, w, C) channel-last source features.
+        proj_mat: (3, 4).
+        depth_values: (D,).
+        grid: optional precomputed plane_sweep_grid (shared between the
+              feature warp and the RGB warp, cf. models.py:872).
+
+    Returns:
+        (warped (D, hp, wp, C), grid (D, hp, wp, 2)).
+    """
+    h, w = src_feat.shape[:2]
+    if grid is None:
+        grid = plane_sweep_grid(proj_mat, depth_values, h, w, pad)
+    warped = grid_sample_2d(src_feat, grid, padding_mode="zeros")
+    return warped, grid
+
+
+def in_bounds_mask(grid):
+    """Per-sample strictly-in-bounds mask (models.py:874-877)."""
+    ok = (grid > -1.0) & (grid < 1.0)
+    return (ok[..., 0] & ok[..., 1]).astype(jnp.float32)
+
+
+def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0):
+    """Cross-view variance cost volume with warped source RGB
+    (models.py:839-893, `build_volume_costvar_img`).
+
+    Args:
+        imgs:  (V, H, W, 3) source images at full resolution (view 0 = ref).
+        feats: (V, h, w, C) stride-4 feature maps (C = 32).
+        proj_mats: (V, 3, 4) relative projections (view 0 is identity-like,
+                   only views 1: are used, models.py:852).
+        depth_values: (D,).
+        pad: feature-grid padding.
+
+    Returns:
+        cost: (D, hp, wp, 9 + C) channel-last; channels ordered
+              [ref RGB(3), warped src1 RGB(3), warped src2 RGB(3), variance(C)]
+              to match the reference layout (models.py:858-860) so the
+              CostRegNet checkpoint weights apply unchanged.
+        in_masks: (V, D, hp, wp) in-bound masks (mask 0 == all ones).
+        colors: (V, D, hp, wp, 4) per-view (RGB, mask) for return_color
+                consumers (models.py:925-926).
+    """
+    V, h, w, C = feats.shape
+    D = depth_values.shape[0]
+    hp, wp = h + 2 * pad, w + 2 * pad
+
+    # Downscale images to feature resolution (models.py:859,
+    # align_corners=False).
+    from .interp import interpolate_bilinear_resize
+    imgs_l = jax.vmap(lambda im: interpolate_bilinear_resize(im, h, w))(imgs)
+
+    # Reference view contributes unwarped (zero-padded) features and image.
+    ref_feat = jnp.pad(feats[0], ((pad, pad), (pad, pad), (0, 0)))
+    ref_img = jnp.pad(imgs_l[0], ((pad, pad), (pad, pad), (0, 0)))
+
+    def warp_one(feat, img, pm):
+        grid = plane_sweep_grid(pm, depth_values, h, w, pad)
+        wfeat = grid_sample_2d(feat, grid, padding_mode="zeros")
+        wimg = grid_sample_2d(img, grid, padding_mode="zeros")
+        return wfeat, wimg, in_bounds_mask(grid)
+
+    # (V-1, D, hp, wp, ...) batched over source views.
+    wfeats, wimgs, masks = jax.vmap(warp_one)(feats[1:], imgs_l[1:],
+                                              proj_mats[1:])
+
+    volume_sum = ref_feat[None] + jnp.sum(wfeats, axis=0)
+    volume_sq_sum = (ref_feat ** 2)[None] + jnp.sum(wfeats ** 2, axis=0)
+
+    ones = jnp.ones((1, D, hp, wp), jnp.float32)
+    in_masks = jnp.concatenate([ones, masks], axis=0)  # (V, D, hp, wp)
+    count = 1.0 / jnp.sum(in_masks, axis=0, keepdims=False)[..., None]
+    variance = volume_sq_sum * count - (volume_sum * count) ** 2
+
+    ref_rgb = jnp.broadcast_to(ref_img[None], (D, hp, wp, 3))
+    cost = jnp.concatenate(
+        [ref_rgb] + [wimgs[i] for i in range(V - 1)] + [variance], axis=-1
+    )
+    colors = jnp.concatenate(
+        [jnp.concatenate([ref_rgb[None], wimgs], axis=0),
+         in_masks[..., None]], axis=-1
+    )
+    return cost, in_masks, colors
+
+
+def build_cost_volume_feat(feats, proj_mats, depth_values, pad: int = 0):
+    """Feature-only variance volume (models.py:787-837, build_volume_costvar).
+
+    Normalization quirk preserved: the mask count starts from ones
+    (models.py:814), i.e. divides by 1 + sum(src masks) rather than the
+    per-view-count of the img variant.
+
+    Returns:
+        (variance (D, hp, wp, C), in_masks (D, hp, wp)).
+    """
+    V, h, w, C = feats.shape
+    D = depth_values.shape[0]
+    hp, wp = h + 2 * pad, w + 2 * pad
+    ref_feat = jnp.pad(feats[0], ((pad, pad), (pad, pad), (0, 0)))
+
+    def warp_one(feat, pm):
+        grid = plane_sweep_grid(pm, depth_values, h, w, pad)
+        return (grid_sample_2d(feat, grid, padding_mode="zeros"),
+                in_bounds_mask(grid))
+
+    wfeats, masks = jax.vmap(warp_one)(feats[1:], proj_mats[1:])
+    volume_sum = ref_feat[None] + jnp.sum(wfeats, axis=0)
+    volume_sq_sum = (ref_feat ** 2)[None] + jnp.sum(wfeats ** 2, axis=0)
+    in_masks = 1.0 + jnp.sum(masks, axis=0)  # (D, hp, wp)
+    count = (1.0 / in_masks)[..., None]
+    variance = volume_sq_sum * count - (volume_sum * count) ** 2
+    return variance, in_masks
