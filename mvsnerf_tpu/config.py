@@ -1,0 +1,122 @@
+"""Config / flag system with the reference's public flag surface (opt.py:3-96).
+
+configargparse isn't available in this image, so `--config FILE` support is
+implemented on plain argparse: the file holds `key = value` lines which are
+applied as defaults before CLI args.
+"""
+
+from __future__ import annotations
+
+import argparse
+import shlex
+
+
+def _read_config_file(path: str) -> dict:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            k, v = (s.strip() for s in line.split("=", 1))
+            out[k] = v
+    return out
+
+
+def config_parser(cmd=None):
+    """Parse flags. `cmd` may be a string (like the notebooks pass,
+    opt.py:93-96) or an argv list; None reads sys.argv."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default=None,
+                        help="config file path")
+    parser.add_argument("--expname", type=str, help="experiment name")
+    parser.add_argument("--basedir", type=str, default="./logs/",
+                        help="where to store ckpts and logs")
+    parser.add_argument("--datadir", type=str, default="./data/llff/fern",
+                        help="input data directory")
+    parser.add_argument("--with_depth", action="store_true")
+    parser.add_argument("--with_depth_loss", action="store_true")
+    parser.add_argument("--with_rgb_loss", action="store_true")
+    parser.add_argument("--imgScale_train", type=float, default=1.0)
+    parser.add_argument("--imgScale_test", type=float, default=1.0)
+    parser.add_argument("--img_downscale", type=float, default=1.0)
+    parser.add_argument("--pad", type=int, default=24)
+
+    # loader options
+    parser.add_argument("--batch_size", type=int, default=1024)
+    parser.add_argument("--num_epochs", type=int, default=8)
+    parser.add_argument("--pts_dim", type=int, default=3)
+    parser.add_argument("--dir_dim", type=int, default=3)
+    parser.add_argument("--alpha_feat_dim", type=int, default=8)
+    parser.add_argument("--net_type", type=str, default="v0")
+    parser.add_argument("--dataset_name", type=str, default="blender",
+                        choices=["dtu", "blender", "llff", "dtu_ft"])
+    parser.add_argument("--use_color_volume", default=False,
+                        action="store_true",
+                        help="project colors into a volume without indexing "
+                             "from image everytime")
+    parser.add_argument("--use_density_volume", default=False,
+                        action="store_true",
+                        help="point sampling with density")
+
+    # training options
+    parser.add_argument("--netdepth", type=int, default=6)
+    parser.add_argument("--netwidth", type=int, default=128)
+    parser.add_argument("--netdepth_fine", type=int, default=6)
+    parser.add_argument("--netwidth_fine", type=int, default=128)
+    parser.add_argument("--lrate", type=float, default=5e-4)
+    parser.add_argument("--decay_step", nargs="+", type=int,
+                        default=[5000, 8000, 9000])
+    parser.add_argument("--decay_gamma", type=float, default=0.5)
+    parser.add_argument("--lr_scheduler", type=str, default="steplr",
+                        choices=["steplr", "cosine", "poly"])
+    parser.add_argument("--warmup_epochs", type=int, default=0)
+
+    parser.add_argument("--chunk", type=int, default=1024)
+    parser.add_argument("--netchunk", type=int, default=1024)
+    parser.add_argument("--ckpt", type=str, default=None)
+
+    # rendering options
+    parser.add_argument("--N_samples", type=int, default=128)
+    parser.add_argument("--N_importance", type=int, default=0)
+    parser.add_argument("--use_disp", default=False, action="store_true")
+    parser.add_argument("--perturb", type=float, default=1.0)
+    parser.add_argument("--use_viewdirs", action="store_true")
+    parser.add_argument("--i_embed", type=int, default=0)
+    parser.add_argument("--multires", type=int, default=10)
+    parser.add_argument("--multires_views", type=int, default=4)
+    parser.add_argument("--raw_noise_std", type=float, default=0.0)
+
+    # blender flags
+    parser.add_argument("--white_bkgd", action="store_true")
+
+    # logging/saving options
+    parser.add_argument("--N_vis", type=int, default=20)
+
+    # TPU-native additions (not in the reference flag surface)
+    parser.add_argument("--precision", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="compute precision for the hot path")
+    parser.add_argument("--num_devices", type=int, default=0,
+                        help="devices to use (0 = all)")
+
+    if isinstance(cmd, str):
+        cmd = shlex.split(cmd)
+    args, _ = parser.parse_known_args(cmd) if cmd is not None else \
+        (parser.parse_args(), None)
+
+    if args.config:
+        defaults = _read_config_file(args.config)
+        known = {a.dest: a for a in parser._actions}
+        for k, v in defaults.items():
+            if k in known and getattr(args, k) == known[k].default:
+                action = known[k]
+                if isinstance(action, argparse._StoreTrueAction):
+                    setattr(args, k, v.lower() in ("1", "true", "yes"))
+                elif action.nargs in ("+", "*"):
+                    setattr(args, k, [action.type(x) for x in v.split()])
+                elif action.type is not None:
+                    setattr(args, k, action.type(v))
+                else:
+                    setattr(args, k, v)
+    return args
