@@ -75,9 +75,22 @@ def in_bounds_mask(grid):
     return (ok[..., 0] & ok[..., 1]).astype(jnp.float32)
 
 
-def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0):
+def _plane_block_size(d: int, target: int = 16) -> int:
+    """Largest divisor of d that is <= target (static blocking factor)."""
+    for b in range(min(target, d), 0, -1):
+        if d % b == 0:
+            return b
+    return 1
+
+
+def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
+                      plane_block: int | None = None):
     """Cross-view variance cost volume with warped source RGB
     (models.py:839-893, `build_volume_costvar_img`).
+
+    The sweep is blocked over depth planes with `lax.map` so peak memory is
+    O(V * plane_block * hp * wp * C) regardless of D — at 640x512/pad 24 the
+    unblocked warp would materialize ~5 GB of gather intermediates per view.
 
     Args:
         imgs:  (V, H, W, 3) source images at full resolution (view 0 = ref).
@@ -86,12 +99,14 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0):
                    only views 1: are used, models.py:852).
         depth_values: (D,).
         pad: feature-grid padding.
+        plane_block: depth planes per block (must divide D; default: largest
+                     divisor of D <= 16).
 
     Returns:
-        cost: (D, hp, wp, 9 + C) channel-last; channels ordered
-              [ref RGB(3), warped src1 RGB(3), warped src2 RGB(3), variance(C)]
-              to match the reference layout (models.py:858-860) so the
-              CostRegNet checkpoint weights apply unchanged.
+        cost: (D, hp, wp, 3V + C) channel-last; channels ordered
+              [ref RGB(3), warped src RGB(3(V-1)), variance(C)] to match the
+              reference layout (models.py:858-860) so the CostRegNet
+              checkpoint weights apply unchanged.
         in_masks: (V, D, hp, wp) in-bound masks (mask 0 == all ones).
         colors: (V, D, hp, wp, 4) per-view (RGB, mask) for return_color
                 consumers (models.py:925-926).
@@ -99,6 +114,9 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0):
     V, h, w, C = feats.shape
     D = depth_values.shape[0]
     hp, wp = h + 2 * pad, w + 2 * pad
+    if plane_block is None:
+        plane_block = _plane_block_size(D)
+    assert D % plane_block == 0, (D, plane_block)
 
     # Downscale images to feature resolution (models.py:859,
     # align_corners=False).
@@ -109,32 +127,40 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0):
     ref_feat = jnp.pad(feats[0], ((pad, pad), (pad, pad), (0, 0)))
     ref_img = jnp.pad(imgs_l[0], ((pad, pad), (pad, pad), (0, 0)))
 
-    def warp_one(feat, img, pm):
-        grid = plane_sweep_grid(pm, depth_values, h, w, pad)
-        wfeat = grid_sample_2d(feat, grid, padding_mode="zeros")
-        wimg = grid_sample_2d(img, grid, padding_mode="zeros")
-        return wfeat, wimg, in_bounds_mask(grid)
+    def process_block(depth_block):
+        """depth_block: (plane_block,) -> per-block cost/masks/colors."""
+        def warp_one(feat, img, pm):
+            grid = plane_sweep_grid(pm, depth_block, h, w, pad)
+            wfeat = grid_sample_2d(feat, grid, padding_mode="zeros")
+            wimg = grid_sample_2d(img, grid, padding_mode="zeros")
+            return wfeat, wimg, in_bounds_mask(grid)
 
-    # (V-1, D, hp, wp, ...) batched over source views.
-    wfeats, wimgs, masks = jax.vmap(warp_one)(feats[1:], imgs_l[1:],
-                                              proj_mats[1:])
+        # (V-1, B, hp, wp, ...) batched over source views.
+        wfeats, wimgs, masks = jax.vmap(warp_one)(feats[1:], imgs_l[1:],
+                                                  proj_mats[1:])
+        B = depth_block.shape[0]
+        volume_sum = ref_feat[None] + jnp.sum(wfeats, axis=0)
+        volume_sq_sum = (ref_feat ** 2)[None] + jnp.sum(wfeats ** 2, axis=0)
+        ones = jnp.ones((1, B, hp, wp), jnp.float32)
+        in_masks = jnp.concatenate([ones, masks], axis=0)  # (V, B, hp, wp)
+        count = 1.0 / jnp.sum(in_masks, axis=0)[..., None]
+        variance = volume_sq_sum * count - (volume_sum * count) ** 2
 
-    volume_sum = ref_feat[None] + jnp.sum(wfeats, axis=0)
-    volume_sq_sum = (ref_feat ** 2)[None] + jnp.sum(wfeats ** 2, axis=0)
+        ref_rgb = jnp.broadcast_to(ref_img[None], (B, hp, wp, 3))
+        cost = jnp.concatenate(
+            [ref_rgb] + [wimgs[i] for i in range(V - 1)] + [variance],
+            axis=-1)
+        colors = jnp.concatenate(
+            [jnp.concatenate([ref_rgb[None], wimgs], axis=0),
+             in_masks[..., None]], axis=-1)
+        return cost, in_masks, colors
 
-    ones = jnp.ones((1, D, hp, wp), jnp.float32)
-    in_masks = jnp.concatenate([ones, masks], axis=0)  # (V, D, hp, wp)
-    count = 1.0 / jnp.sum(in_masks, axis=0, keepdims=False)[..., None]
-    variance = volume_sq_sum * count - (volume_sum * count) ** 2
-
-    ref_rgb = jnp.broadcast_to(ref_img[None], (D, hp, wp, 3))
-    cost = jnp.concatenate(
-        [ref_rgb] + [wimgs[i] for i in range(V - 1)] + [variance], axis=-1
-    )
-    colors = jnp.concatenate(
-        [jnp.concatenate([ref_rgb[None], wimgs], axis=0),
-         in_masks[..., None]], axis=-1
-    )
+    blocks = depth_values.reshape(-1, plane_block)
+    cost_b, masks_b, colors_b = jax.lax.map(process_block, blocks)
+    # (nb, B, hp, wp, C') -> (D, hp, wp, C'); (nb, V, B, ...) -> (V, D, ...)
+    cost = cost_b.reshape(D, hp, wp, cost_b.shape[-1])
+    in_masks = masks_b.transpose(1, 0, 2, 3, 4).reshape(V, D, hp, wp)
+    colors = colors_b.transpose(1, 0, 2, 3, 4, 5).reshape(V, D, hp, wp, 4)
     return cost, in_masks, colors
 
 
