@@ -64,5 +64,10 @@ def render_video(system, poses, h: int, w: int, focal, near_far,
             rgb = panel([rgb, dvis])
         frames.append(to8b(rgb))
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    imageio.mimwrite(out_path, frames, fps=fps, quality=8)
+    try:
+        imageio.mimwrite(out_path, frames, fps=fps, quality=8)
+    except Exception:
+        # no ffmpeg plugin in this environment — fall back to GIF
+        out_path = os.path.splitext(out_path)[0] + ".gif"
+        imageio.mimwrite(out_path, frames, duration=1000.0 / fps)
     return frames

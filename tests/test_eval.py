@@ -1,0 +1,85 @@
+"""Evaluator, metrics, render paths, and video tests."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mvsnerf_tpu.config import config_parser
+from test_train import FakeSceneDataset, H, W, PAD
+
+RNG = np.random.default_rng(13)
+
+
+def test_ssim_matches_known_values():
+    from mvsnerf_tpu.eval.metrics import ssim
+    img = RNG.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    assert abs(float(ssim(img, img)) - 1.0) < 1e-5
+    noisy = np.clip(img + RNG.normal(0, 0.2, img.shape), 0, 1).astype(
+        np.float32)
+    s = float(ssim(img, noisy))
+    assert 0.0 < s < 0.95
+
+
+def test_psnr_masked():
+    from mvsnerf_tpu.eval.metrics import psnr
+    import jax.numpy as jnp
+    a = np.zeros((4, 4, 3), np.float32)
+    b = np.zeros((4, 4, 3), np.float32)
+    b[0, 0] = 1.0  # error only outside the mask
+    mask = np.ones((4, 4), bool)
+    mask[0, 0] = False
+    assert float(psnr(a, b, jnp.asarray(mask))) > 50
+
+
+def test_evaluator_runs():
+    from mvsnerf_tpu.eval.evaluate import Evaluator, nearest_source_views
+    from mvsnerf_tpu.models import init_mlp, init_mvsnet
+    args = config_parser(cmd=f"--pad {PAD} --N_samples 8 --dataset_name llff")
+    ds = FakeSceneDataset()
+    ev = Evaluator(args, ds, init_mvsnet(jax.random.PRNGKey(0)),
+                   init_mlp(jax.random.PRNGKey(1), "v0"))
+    out = ev.evaluate(max_images=2, chunk=256)
+    assert "psnr" in out["mean"] and "ssim" in out["mean"]
+    assert np.isfinite(out["mean"]["psnr"])
+    ids = nearest_source_views(ds.c2ws[0], ds.c2ws, 3)
+    assert ids[0] == 0 and len(ids) == 3
+
+
+def test_render_paths():
+    from mvsnerf_tpu.eval.paths import (gen_render_path, nerf_video_path,
+                                        pose_spherical_dtu,
+                                        pose_spherical_nerf)
+    c2ws = np.stack([np.eye(4)] * 4)
+    for i in range(4):
+        c2ws[i, :3, 3] = [i, 0, 0]
+    path = gen_render_path(c2ws, n_views=12)
+    assert path.shape == (16, 4, 4)
+    # rotations stay orthonormal through euler interpolation
+    for p in path:
+        np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3),
+                                   atol=1e-6)
+    p = pose_spherical_nerf(np.array([-30.0, 60.0, 0.0]), radius=4.0)
+    np.testing.assert_allclose(np.linalg.norm(p[:3, 3]), 4.0, atol=1e-6)
+    path = nerf_video_path(10)
+    assert path.shape == (10, 4, 4)
+    path = pose_spherical_dtu(np.array([0.5, 0.5, 0.5]), 3.0, 8)
+    assert path.shape == (8, 3, 4)
+
+
+def test_video_rendering(tmp_path):
+    from mvsnerf_tpu.eval.video import make_path, render_video
+    from mvsnerf_tpu.train import FinetuneSystem
+    args = config_parser(cmd=f"--pad {PAD} --N_samples 8 --batch_size 128")
+    ds = FakeSceneDataset()
+    sys_ = FinetuneSystem(args, ds)
+    poses = make_path("interp", dataset=ds, n_frames=3)
+    out = str(tmp_path / "video.mp4")
+    frames = render_video(sys_, poses[:2], H, W, ds.focal, ds.near_far, out,
+                          chunk=512)
+    assert len(frames) == 2
+    assert frames[0].shape == (H, W, 3)
+    import glob
+    import os
+    written = glob.glob(str(tmp_path / "video.*"))
+    assert written and os.path.getsize(written[0]) > 0

@@ -77,6 +77,15 @@ class FakeSceneDataset:
     def load_poses_all(self):
         return self.c2ws
 
+    def __len__(self):
+        n = len(self.imgs)
+        return n
+
+    def __getitem__(self, i):
+        hw = H * W
+        return {"rays": self.all_rays[i * hw:(i + 1) * hw],
+                "rgbs": self.imgs[i]}
+
 
 def _args(extra=""):
     return config_parser(cmd=f"--pad {PAD} --N_samples 16 --batch_size 256 "

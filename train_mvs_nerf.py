@@ -1,0 +1,61 @@
+"""Generalizable training entry point (reference train_mvs_nerf_pl.py).
+
+Example:
+    python train_mvs_nerf.py --expname dtu_gen --dataset_name dtu \
+        --datadir /data/dtu --num_epochs 6 --batch_size 1024 --N_samples 128 \
+        --with_depth --with_depth_loss --pad 24
+"""
+
+import os
+
+from mvsnerf_tpu.config import config_parser
+from mvsnerf_tpu.data import dataset_dict
+from mvsnerf_tpu.train import GeneralizableSystem
+from mvsnerf_tpu.utils import MetricLogger
+
+
+def main():
+    args = config_parser()
+    log_dir = os.path.join("runs_new", args.expname or "exp")
+    logger = MetricLogger(log_dir)
+
+    dataset_cls = dataset_dict[args.dataset_name]
+    train_ds = dataset_cls(args.datadir, "train",
+                           downSample=args.imgScale_train)
+    val_ds = dataset_cls(args.datadir, "val", downSample=args.imgScale_test,
+                         max_len=10)
+
+    mesh = None
+    if args.num_devices != 1:
+        import jax
+        from mvsnerf_tpu.parallel import make_mesh
+        devices = jax.devices()
+        if args.num_devices > 0:
+            devices = devices[: args.num_devices]
+        if len(devices) > 1:
+            mesh = make_mesh(devices)
+
+    system = GeneralizableSystem(args, mesh=mesh)
+    ckpt_dir = os.path.join(log_dir, "ckpts")
+    system.restore(ckpt_dir)  # resume-by-default
+    system.fit(train_ds, num_epochs=args.num_epochs, logger=logger,
+               ckpt_dir=ckpt_dir)
+
+    # validation pass (PSNR + panels)
+    from mvsnerf_tpu.eval.metrics import psnr
+    import numpy as np
+    for i in range(min(len(val_ds), args.N_vis)):
+        sample = val_ds[i]
+        out = system.render_view(sample, chunk=args.chunk * 8)
+        p = float(psnr(np.clip(out["rgb"], 0, 1), out["target"]))
+        logger.log_scalars(system.global_step + i, {"val/PSNR": p})
+        from mvsnerf_tpu.utils.vis import panel, visualize_depth
+        dvis, _ = visualize_depth(out["depth"])
+        logger.save_panel(system.global_step, f"val_{i:02d}",
+                          panel([out["target"], np.clip(out["rgb"], 0, 1),
+                                 dvis]))
+    logger.flush()
+
+
+if __name__ == "__main__":
+    main()
