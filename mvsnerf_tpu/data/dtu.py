@@ -99,13 +99,21 @@ class MVSDatasetDTU:
 
     def read_depth(self, filename):
         """GT depth pyramid (data/dtu.py:116-127): PFM -> x0.5 nearest ->
-        crop [44:556, 80:720] -> downSample."""
-        depth_h = read_pfm(filename)[0]
-        depth_h = resize_nearest(depth_h, 0.5, 0.5)
-        depth_h = depth_h[44:556, 80:720]
-        if self.downSample != 1.0:
-            depth_h = resize_nearest(depth_h, self.downSample,
-                                     self.downSample)
+        crop [44:556, 80:720] -> downSample. Uses the native C++ pipeline
+        when available (mvsnerf_tpu.native)."""
+        from .. import native
+        if native.available():
+            with open(filename, "rb") as f:
+                raw = f.read()
+            depth_full = native.pfm_decode(raw)
+            depth_h = native.dtu_depth_pipeline(depth_full, self.downSample)
+        else:
+            depth_h = read_pfm(filename)[0]
+            depth_h = resize_nearest(depth_h, 0.5, 0.5)
+            depth_h = depth_h[44:556, 80:720]
+            if self.downSample != 1.0:
+                depth_h = resize_nearest(depth_h, self.downSample,
+                                         self.downSample)
         depth = resize_nearest(depth_h, 0.25, 0.25)
         return depth, depth > 0, depth_h
 

@@ -39,4 +39,12 @@ class RayBatchIterator:
             self._pos = 0
         idx = self._perm[self._pos: self._pos + self.batch_size]
         self._pos += self.batch_size
+        keys = list(self.arrays)
+        if set(keys) == {"rays", "rgbs"}:
+            # hot path: multi-threaded native gather
+            from .. import native
+            if native.available():
+                rays, rgbs = native.ray_gather(self.arrays["rays"],
+                                               self.arrays["rgbs"], idx)
+                return {"rays": rays, "rgbs": rgbs}
         return {k: v[idx] for k, v in self.arrays.items()}
