@@ -1,0 +1,195 @@
+"""Pallas TPU kernels for the render hot path.
+
+`fused_render_v0` fuses, in a single kernel over ray tiles:
+    positional encoding -> v0 NeRF MLP (6 layers + viewdir head, with the
+    multiplicative pts_bias and the layer-4 skip) -> alpha compositing
+    (alpha = 1 - exp(-sigma), transmittance, rgb/depth/acc maps).
+
+Why this fusion wins on TPU: the XLA path runs ~10 separate matmul kernels
+whose (N x 128) activations round-trip HBM between layers (~1.2 GB of
+traffic per 131k-sample batch); here the MLP weights (~150 KB) live in VMEM
+and each ray tile's activations never leave the chip. The skip/viewdir
+concats are decomposed into split matmuls (cat(a,b) @ W == a @ W_top +
+b @ W_bot) so no in-kernel concatenation of misaligned tiles is needed.
+
+The kernel covers the inference/eval path (renderer.ipynb's chunk loop,
+validation renders, video). Training keeps the XLA path (autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pe63(x, n_freqs: int = 10):
+    """[x, sin(f-major), cos(f-major)] positional encoding (models.py:47-51),
+    built from 2-D ops only (TPU-friendly)."""
+    freqs = 2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)
+    parts = [x]
+    scaled = [x * f for f in freqs]
+    parts += [jnp.sin(s) for s in scaled]
+    parts += [jnp.cos(s) for s in scaled]
+    return jnp.concatenate(parts, axis=-1)  # (rows, 3 + 30 + 30)
+
+
+def _mlp_rows(xyz, feats, dirs_rows, w):
+    """The v0 MLP on a (rows, *) tile. w is the flat weight dict of jnp
+    arrays already loaded from VMEM refs."""
+    pe = _pe63(xyz)
+    bias = feats @ w["bias_k"] + w["bias_b"]
+
+    h = pe @ w["k0"] + w["b0"]
+    h = jax.nn.relu(h * bias)
+    for i in (1, 2, 3, 4):
+        h = h @ w[f"k{i}"] + w[f"b{i}"]
+        h = jax.nn.relu(h * bias)
+    # skip at layer index 4: cat([pe, h]) @ k5 == pe @ k5_top + h @ k5_bot
+    h = pe @ w["k5_top"] + h @ w["k5_bot"] + w["b5"]
+    h = jax.nn.relu(h * bias)
+
+    sigma = jax.nn.relu(h @ w["ak"] + w["ab"])            # (rows, 1)
+    feature = h @ w["fk"] + w["fb"]
+    hv = jax.nn.relu(feature @ w["vk_top"] + dirs_rows @ w["vk_bot"]
+                     + w["vb"])
+    rgb = jax.nn.sigmoid(hv @ w["rk"] + w["rb"])          # (rows, 3)
+    return rgb, sigma
+
+
+_WEIGHT_ORDER = ["k0", "b0", "k1", "b1", "k2", "b2", "k3", "b3", "k4", "b4",
+                 "k5_top", "k5_bot", "b5", "bias_k", "bias_b", "ak", "ab",
+                 "fk", "fb", "vk_top", "vk_bot", "vb", "rk", "rb"]
+
+
+def pack_v0_weights(mlp_params, in_ch_pts: int = 63):
+    """Flatten an imported v0 MLP pytree (io/torch_ckpt layout) into the
+    kernel's weight list. Biases become (1, C) rows (TPU scalars must be
+    >= 2-D)."""
+    p = mlp_params
+    row = lambda b: b.reshape(1, -1)
+    k5 = p["pts_linears"][5]["kernel"]           # (63 + 128, 128)
+    vk = p["views_linears"][0]["kernel"]         # (128 + 3, 64)
+    w = {
+        "k0": p["pts_linears"][0]["kernel"],
+        "b0": row(p["pts_linears"][0]["bias"]),
+        "k1": p["pts_linears"][1]["kernel"],
+        "b1": row(p["pts_linears"][1]["bias"]),
+        "k2": p["pts_linears"][2]["kernel"],
+        "b2": row(p["pts_linears"][2]["bias"]),
+        "k3": p["pts_linears"][3]["kernel"],
+        "b3": row(p["pts_linears"][3]["bias"]),
+        "k4": p["pts_linears"][4]["kernel"],
+        "b4": row(p["pts_linears"][4]["bias"]),
+        "k5_top": k5[:in_ch_pts],
+        "k5_bot": k5[in_ch_pts:],
+        "b5": row(p["pts_linears"][5]["bias"]),
+        "bias_k": p["pts_bias"]["kernel"],
+        "bias_b": row(p["pts_bias"]["bias"]),
+        "ak": p["alpha_linear"]["kernel"],
+        "ab": row(p["alpha_linear"]["bias"]),
+        "fk": p["feature_linear"]["kernel"],
+        "fb": row(p["feature_linear"]["bias"]),
+        "vk_top": vk[:-3],
+        "vk_bot": vk[-3:],
+        "vb": row(p["views_linears"][0]["bias"]),
+        "rk": p["rgb_linear"]["kernel"],
+        "rb": row(p["rgb_linear"]["bias"]),
+    }
+    return [w[name] for name in _WEIGHT_ORDER]
+
+
+def _kernel(xyz_ref, feats_ref, dirs_ref, z_ref, *rest):
+    # rest = 24 weight refs, then 4 output refs
+    w_refs = rest[:len(_WEIGHT_ORDER)]
+    rgb_out, depth_out, acc_out, weights_out = rest[len(_WEIGHT_ORDER):]
+
+    R, S, _ = xyz_ref.shape
+    rows = R * S
+    w = {name: ref[:] for name, ref in zip(_WEIGHT_ORDER, w_refs)}
+
+    xyz = xyz_ref[:].reshape(rows, 3)
+    feats = feats_ref[:].reshape(rows, feats_ref.shape[-1])
+    dirs = dirs_ref[:]                          # (R, 3)
+    dirs_rows = jnp.repeat(dirs, S, axis=0)     # (rows, 3)
+
+    rgb, sigma = _mlp_rows(xyz, feats, dirs_rows, w)
+
+    # compositing (renderer.py:18-26, 65-92): alpha = 1 - exp(-sigma)
+    alpha = 1.0 - jnp.exp(-sigma.reshape(R, S))
+    # T_i = prod_{j<i} (1 - a_j + 1e-10), via exclusive log-cumsum; the
+    # 1 - alpha term is clamped at 0 (at alpha == 1.0 the unclamped value
+    # can round to a tiny negative under fused arithmetic -> log(neg) = nan)
+    log_t = jnp.log(jnp.maximum(1.0 - alpha, 0.0) + 1e-10)
+    csum = jnp.cumsum(log_t, axis=-1)
+    t = jnp.exp(csum - log_t)                   # exclusive prefix product
+    weights = alpha * t                          # (R, S)
+
+    rgb = rgb.reshape(R, S, 3)
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=1)    # (R, 3)
+    z_vals = z_ref[:]
+    depth = jnp.sum(weights * z_vals, axis=-1, keepdims=True)
+    acc = jnp.sum(weights, axis=-1, keepdims=True)
+
+    rgb_out[:] = rgb_map
+    depth_out[:] = depth
+    acc_out[:] = acc
+    weights_out[:] = weights
+
+
+def fused_render_v0(weights_list, xyz_ndc, feats, dirs, z_vals,
+                    rays_per_tile: int = 64, interpret: bool = False):
+    """Fused PE + v0 MLP + compositing.
+
+    Args:
+        weights_list: pack_v0_weights(mlp_params).
+        xyz_ndc: (N, S, 3) sample coords (the MLP's position input).
+        feats:   (N, S, F) per-sample features (F = 20 for mvsnerf-v0).
+        dirs:    (N, 3) reference-frame view dirs (unit).
+        z_vals:  (N, S).
+
+    Returns:
+        dict rgb (N, 3), depth (N,), acc (N,), weights (N, S).
+    """
+    N, S, _ = xyz_ndc.shape
+    F = feats.shape[-1]
+    R = min(rays_per_tile, N)
+    pad = (-N) % R
+    if pad:
+        padf = lambda a: jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        xyz_ndc, feats, dirs, z_vals = map(padf,
+                                           (xyz_ndc, feats, dirs, z_vals))
+    n_pad = xyz_ndc.shape[0]
+    grid = (n_pad // R,)
+
+    def tile_spec(s):
+        return pl.BlockSpec((R, *s), lambda i: (i, *([0] * len(s))),
+                            memory_space=pltpu.VMEM)
+
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)
+               for _ in _WEIGHT_ORDER]
+    out_shapes = (
+        jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, S), jnp.float32),
+    )
+    out_specs = (tile_spec((3,)), tile_spec((1,)), tile_spec((1,)),
+                 tile_spec((S,)))
+
+    rgb, depth, acc, w_ = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[tile_spec((S, 3)), tile_spec((S, F)), tile_spec((3,)),
+                  tile_spec((S,))] + w_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xyz_ndc, feats, dirs, z_vals, *weights_list)
+
+    return {"rgb": rgb[:N], "depth": depth[:N, 0], "acc": acc[:N, 0],
+            "weights": w_[:N]}
