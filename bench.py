@@ -99,7 +99,8 @@ def main():
                                      far=near_far[1], pad=PAD)
         out = render_rays(params["mlp"], params["volume"], pts_world,
                           pts_ndc, z_vals, rays_d, w2c_ref=w2cs[0],
-                          w2cs=w2cs, intrinsics=intrs, imgs=imgs)
+                          w2cs=w2cs, intrinsics=intrs, imgs=imgs,
+                          fast_volume_grad=True)
         return jnp.mean((out["rgb"] - target) ** 2)
 
     opt = optax.adam(5e-4)

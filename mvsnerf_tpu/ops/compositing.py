@@ -20,6 +20,12 @@ def depth2dist(z_vals, cos_angle):
     return dists * cos_angle[..., None]
 
 
+def ndc2dist(ndc_pts, cos_angle):
+    """Inter-sample distances in NDC space (renderer.py:13-16)."""
+    dists = jnp.linalg.norm(ndc_pts[:, 1:] - ndc_pts[:, :-1], axis=-1)
+    return jnp.concatenate([dists, 1e10 * cos_angle[..., None]], axis=-1)
+
+
 def raw2alpha(sigma):
     """alpha/transmittance weights (renderer.py:18-26).
 

@@ -121,12 +121,17 @@ def _kernel(xyz_ref, feats_ref, dirs_ref, z_ref, *rest):
 
     # compositing (renderer.py:18-26, 65-92): alpha = 1 - exp(-sigma)
     alpha = 1.0 - jnp.exp(-sigma.reshape(R, S))
-    # T_i = prod_{j<i} (1 - a_j + 1e-10), via exclusive log-cumsum; the
-    # 1 - alpha term is clamped at 0 (at alpha == 1.0 the unclamped value
-    # can round to a tiny negative under fused arithmetic -> log(neg) = nan)
+    # T_i = prod_{j<i} (1 - a_j + 1e-10) via an exclusive log-prefix-sum.
+    # Mosaic has no cumsum primitive; a strictly-lower-triangular matmul
+    # IS the exclusive prefix sum and runs on the MXU (S x S, S = 128).
+    # The 1 - alpha term is clamped at 0 (at alpha == 1.0 the unclamped
+    # value can round to a tiny negative -> log(neg) = nan).
     log_t = jnp.log(jnp.maximum(1.0 - alpha, 0.0) + 1e-10)
-    csum = jnp.cumsum(log_t, axis=-1)
-    t = jnp.exp(csum - log_t)                   # exclusive prefix product
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    tril_excl = (row < col).astype(jnp.float32)   # strictly lower (k^T form)
+    t = jnp.exp(jnp.dot(log_t, tril_excl,
+                        preferred_element_type=jnp.float32))
     weights = alpha * t                          # (R, S)
 
     rgb = rgb.reshape(R, S, 3)

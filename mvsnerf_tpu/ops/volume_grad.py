@@ -1,0 +1,144 @@
+"""Trainable-volume sampling with a TPU-fast backward pass.
+
+The fine-tuning / generalizable training bottleneck is the backward of the
+trilinear encoding-volume gather: XLA lowers it to a scatter-add of
+N_rays x N_samples x 8 corner contributions into the (D, H, W, C) grid,
+which serializes on TPU (~114 ms of a 142 ms step at batch 1024 x 128).
+
+`sample_volume_train` replaces that scatter with dense MXU matmuls by
+exploiting the ray-marching structure: for one sample COLUMN s (the s-th
+depth sample of every ray), the NDC z values span only a few depth slabs
+(stratified sampling jitters each sample within one inter-sample interval,
+so the slab span is ~ceil(D / N_samples) + 2). Per column, the trilinear
+splat therefore factors into
+
+    G[z0+k, y, x, c] += A_y,k^T @ (A_xw * g)     k = 0..K
+
+two one-hot-with-weights matrices (built by broadcast comparison) and one
+(K+1)·H x M x W·C matmul — all MXU work — followed by a single
+dynamic-slice accumulate into the gradient volume. A lax.scan walks the
+columns.
+
+Contract: the backward is exact when every column's z-slab span is < K
+(default 8; checked in tests for the stratified and importance-sampled
+cases). Columns are the SECOND axis of `ndc` — callers pass
+(N_rays, N_samples, 3). The coordinate convention matches
+`index_point_feature` (ndc in [0, 1], align_corners=True, zeros padding;
+reference utils.py:357-383).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .interp import grid_sample_3d
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sample_volume_train(volume, ndc, band_k: int = 8):
+    """Trilinear volume sampling, differentiable, TPU-fast backward.
+
+    Args:
+        volume: (D, H, W, C).
+        ndc: (N_rays, N_samples, 3) in [0, 1], ordered (x, y, z).
+        band_k: static z-slab band width of the backward (see module doc).
+
+    Returns:
+        (N_rays, N_samples, C) features.
+    """
+    return grid_sample_3d(volume, ndc * 2.0 - 1.0)
+
+
+def _fwd(volume, ndc, band_k):
+    return sample_volume_train(volume, ndc, band_k), (volume, ndc)
+
+
+def _axis_onehot(idx0, frac, mask0, mask1, size):
+    """(M, size) matrix with (1-frac) at idx0 and frac at idx0+1, masked."""
+    ar = jax.lax.broadcasted_iota(jnp.int32, (idx0.shape[0], size), 1)
+    i0 = idx0[:, None]
+    w0 = jnp.where(mask0, 1.0 - frac, 0.0)[:, None]
+    w1 = jnp.where(mask1, frac, 0.0)[:, None]
+    return jnp.where(ar == i0, w0, 0.0) + jnp.where(ar == i0 + 1, w1, 0.0)
+
+
+def _bwd(band_k, res, g):
+    volume, ndc = res
+    D, H, W, C = volume.shape
+    N, S, _ = ndc.shape
+    K = band_k
+
+    # ---- gradient wrt ndc: gathers only (no scatter) — let autodiff do it.
+    _, vjp_ndc = jax.vjp(lambda n: grid_sample_3d(volume, n * 2.0 - 1.0),
+                         ndc)
+    g_ndc = vjp_ndc(g)[0]
+
+    # ---- gradient wrt volume: banded column splat.
+    # voxel-space coords (align_corners=True: ndc * (size - 1))
+    x = ndc[..., 0] * (W - 1)
+    y = ndc[..., 1] * (H - 1)
+    z = ndc[..., 2] * (D - 1)
+
+    def column(grad_vol, inputs):
+        xs, ys, zs, gs = inputs          # (N,), (N,), (N,), (N, C)
+        x0 = jnp.floor(xs)
+        y0 = jnp.floor(ys)
+        z0 = jnp.floor(zs)
+        fx = xs - x0
+        fy = ys - y0
+        fz = zs - z0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        z0i = z0.astype(jnp.int32)
+
+        in_x0 = (x0i >= 0) & (x0i <= W - 1)
+        in_x1 = (x0i + 1 >= 0) & (x0i + 1 <= W - 1)
+        in_y0 = (y0i >= 0) & (y0i <= H - 1)
+        in_y1 = (y0i + 1 >= 0) & (y0i + 1 <= H - 1)
+        in_z0 = (z0i >= 0) & (z0i <= D - 1)
+        in_z1 = (z0i + 1 >= 0) & (z0i + 1 <= D - 1)
+
+        # band origin: smallest valid z0 (clamped into the grid)
+        zmin = jnp.clip(jnp.min(z0i), 0, D - 1)
+        # cap so the K+1 band stays inside the grid
+        zmin = jnp.minimum(zmin, jnp.int32(max(D - (K + 1), 0)))
+        off = z0i - zmin                    # z0 lands at band offset `off`
+
+        axw = _axis_onehot(x0i, fx, in_x0, in_x1, W)      # (N, W)
+        ayw = _axis_onehot(y0i, fy, in_y0, in_y1, H)      # (N, H)
+
+        # U[m, x*c] = axw ⊗ g
+        u = (axw[:, :, None] * gs[:, None, :]).reshape(N, W * C)
+
+        # stacked z-banded y matrices: rows (K+1)*H
+        karr = jax.lax.broadcasted_iota(jnp.int32, (N, K + 1), 1)
+        wz0 = jnp.where(in_z0, 1.0 - fz, 0.0)[:, None]
+        wz1 = jnp.where(in_z1, fz, 0.0)[:, None]
+        # weight of this sample at band offset k
+        wz = jnp.where(karr == off[:, None], wz0, 0.0) + \
+            jnp.where(karr == off[:, None] + 1, wz1, 0.0)   # (N, K+1)
+        a_stack = (wz[:, :, None] * ayw[:, None, :]).reshape(N, (K + 1) * H)
+
+        gband = jnp.dot(a_stack.T, u,
+                        preferred_element_type=jnp.float32)  # ((K+1)H, WC)
+        gband = gband.reshape(K + 1, H, W, C)
+
+        cur = jax.lax.dynamic_slice(grad_vol, (zmin, 0, 0, 0),
+                                    (K + 1, H, W, C))
+        grad_vol = jax.lax.dynamic_update_slice(grad_vol, cur + gband,
+                                                (zmin, 0, 0, 0))
+        return grad_vol, None
+
+    cols = (x.T, y.T, z.T, jnp.swapaxes(g, 0, 1))  # scan over S columns
+    # seed the carry from the cotangent so its vma (varying-manual-axes)
+    # type matches the updates under shard_map (zeros_like(volume) would be
+    # unvarying while the per-shard updates vary over the mesh axis)
+    grad_vol = jnp.zeros_like(volume) + 0.0 * g.reshape(-1)[0]
+    grad_vol, _ = jax.lax.scan(column, grad_vol, cols)
+    return grad_vol, g_ndc
+
+
+sample_volume_train.defvjp(_fwd, _bwd)

@@ -42,7 +42,7 @@ def shard_rays_render(render_fn, mesh: Mesh, n_ray_args: int,
 
         fn = lambda *a: render_fn(*a)
         sharded = shard_map(fn, mesh=mesh, in_specs=in_specs,
-                            out_specs=out_specs)
+                            out_specs=out_specs, check_vma=False)
         return sharded(*ray_args, *rest)
 
     return jax.jit(wrapped)
@@ -72,8 +72,7 @@ def data_parallel_step(loss_fn, optimizer, mesh: Mesh,
         fn = shard_map(
             sharded_grads, mesh=mesh,
             in_specs=(P(), jax.tree.map(lambda _: P(axis_name), batch), P()),
-            out_specs=(P(), P()),
-            
+            out_specs=(P(), P()), check_vma=False,
         )
         loss, grads = fn(params, batch, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -66,12 +66,37 @@ def gen_dir_feature(w2c_ref, rays_dir):
     return rays_dir @ w2c_ref[:3, :3].T
 
 
+def gen_angle_feature(c2ws, rays_pts, rays_dir):
+    """Per-source-view angle cosines (renderer.py:96-109; unused by the
+    main v0 path, provided for parity).
+
+    Args:
+        c2ws: (V, 4, 4); rays_pts: (N, S, 3); rays_dir: (N, 3).
+    Returns:
+        (N, S, V) cosines between sample->camera dirs and the ray dir.
+    """
+    n_rays, n_samples = rays_pts.shape[:2]
+    cam_centers = c2ws[:, :3, 3]                       # (V, 3)
+    dirs = rays_pts[:, :, None] - cam_centers[None, None]
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-7)
+    return jnp.sum(dirs * rays_dir.reshape(n_rays, 1, 1, 3),
+                   axis=-1).reshape(n_rays, n_samples, -1)
+
+
 def gen_pts_feats(volume, pts_ndc, pts_world=None, w2cs=None,
-                  intrinsics=None, imgs=None, use_color_volume=False):
+                  intrinsics=None, imgs=None, use_color_volume=False,
+                  fast_volume_grad=False):
     """Per-sample MLP feature: 8ch encoding volume + 12ch color volume
     (renderer.py:124-136). With use_color_volume, everything is pre-baked
-    into `volume` (renderer.py:134-135)."""
-    ray_feats = index_point_feature(volume, pts_ndc)
+    into `volume` (renderer.py:134-135). `fast_volume_grad` routes the
+    volume lookup through the banded-splat custom VJP
+    (ops/volume_grad.py) — use in training steps that differentiate wrt
+    the volume."""
+    if fast_volume_grad:
+        from ..ops.volume_grad import sample_volume_train
+        ray_feats = sample_volume_train(volume, pts_ndc)
+    else:
+        ray_feats = index_point_feature(volume, pts_ndc)
     if use_color_volume:
         return ray_feats
     colors = build_color_volume(pts_world, w2cs, intrinsics, imgs,
@@ -101,7 +126,7 @@ def render_rays(mlp_params, volume, pts_world, pts_ndc, z_vals, rays_dir,
                 w2c_ref=None, w2cs=None, intrinsics=None, imgs=None,
                 net_type: str = "v0", multires: int = 10,
                 multires_views: int = 0, use_color_volume: bool = False,
-                white_bkgd: bool = False):
+                white_bkgd: bool = False, fast_volume_grad: bool = False):
     """The render entry (renderer.py:138-165).
 
     Args:
@@ -120,7 +145,8 @@ def render_rays(mlp_params, volume, pts_world, pts_ndc, z_vals, rays_dir,
         else unit_dirs
 
     feats = gen_pts_feats(volume, pts_ndc, pts_world, w2cs, intrinsics, imgs,
-                          use_color_volume=use_color_volume)
+                          use_color_volume=use_color_volume,
+                          fast_volume_grad=fast_volume_grad)
     raw = run_network(mlp_params, pts_ndc, angle, feats, net_type=net_type,
                       multires=multires, multires_views=multires_views)
     if raw.shape[-1] > 4:

@@ -159,7 +159,8 @@ class FinetuneSystem:
                 intrinsics=self.pose_source["intrinsics"], imgs=self.imgs,
                 net_type=args.net_type,
                 use_color_volume=args.use_color_volume,
-                white_bkgd=args.white_bkgd)
+                white_bkgd=args.white_bkgd,
+                fast_volume_grad=True)
 
         def loss_fn(params, rays, rgbs, key, density_volume):
             out = render_fn(params, rays, key, density_volume)

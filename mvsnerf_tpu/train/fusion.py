@@ -225,7 +225,7 @@ class FusionFinetuneSystem:
                 params["mlp"], params["volume"], pts, pts_ndc, z_vals,
                 rays_d, w2c_ref=pose_ref["w2cs"][0],
                 net_type=args.net_type, use_color_volume=True,
-                white_bkgd=args.white_bkgd)
+                white_bkgd=args.white_bkgd, fast_volume_grad=True)
 
         def loss_fn(params, rays, rgbs, key, density_volume):
             out = render_fn(params, rays, key, density_volume)

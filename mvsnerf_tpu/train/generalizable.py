@@ -120,7 +120,7 @@ class GeneralizableSystem:
                 params["mlp"], volume, pts, pts_ndc, z_vals, rays_d,
                 w2c_ref=w2cs[0], w2cs=w2cs[:3], intrinsics=intrinsics[:3],
                 imgs=imgs[:3], net_type=args.net_type,
-                white_bkgd=args.white_bkgd)
+                white_bkgd=args.white_bkgd, fast_volume_grad=True)
 
             img_loss = jnp.mean((out["rgb"] - target_rgb) ** 2)
             loss = img_loss
@@ -153,7 +153,8 @@ class GeneralizableSystem:
             def step(params, opt_state, batch, key):
                 fn = jax.shard_map(
                     sharded_grads, mesh=self.mesh,
-                    in_specs=(P(), P(), P()), out_specs=(P(), P(), P()))
+                    in_specs=(P(), P(), P()), out_specs=(P(), P(), P()),
+                    check_vma=False)
                 loss, aux, grads = fn(params, batch, key)
                 updates, opt_state = optimizer.update(grads, opt_state,
                                                       params)
