@@ -243,6 +243,93 @@ def convert_volume_state(sd: dict):
     return jnp.asarray(np.transpose(v[0], (1, 2, 3, 0)))
 
 
+def _lin_back(p):
+    out = {"weight": np.asarray(p["kernel"]).T}
+    if "bias" in p:
+        out["bias"] = np.asarray(p["bias"])
+    return out
+
+
+def export_reference_checkpoint(path: str, mlp_params, mvsnet_params=None,
+                                volume=None, global_step: int = 0):
+    """Write a reference-compatible torch checkpoint
+    ({global_step, network_fn_state_dict, network_mvs_state_dict[, volume]},
+    train_mvs_nerf_pl.py:277-288) so models trained here can be loaded by
+    the reference tooling. Requires torch (dev environments only)."""
+    import torch
+
+    from ..models.mvsnet import _COSTREG_DEC, _COSTREG_ENC, _FEATURE_CFG
+
+    def t(x):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(x)))
+
+    fn_sd = {}
+    p = mlp_params
+    for i, lin in enumerate(p["pts_linears"]):
+        for k, v in _lin_back(lin).items():
+            fn_sd[f"nerf.pts_linears.{i}.{k}"] = t(v)
+    for name in ("pts_bias", "feature_linear", "alpha_linear", "rgb_linear",
+                 "weight_out", "output_linear"):
+        if name in p:
+            for k, v in _lin_back(p[name]).items():
+                fn_sd[f"nerf.{name}.{k}"] = t(v)
+    for i, lin in enumerate(p.get("views_linears", [])):
+        for k, v in _lin_back(lin).items():
+            fn_sd[f"nerf.views_linears.{i}.{k}"] = t(v)
+
+    ck = {"global_step": global_step, "network_fn_state_dict": fn_sd}
+
+    if mvsnet_params is not None:
+        mvs_sd = {}
+
+        def put_abn(prefix, bn):
+            mvs_sd[f"{prefix}.weight"] = t(bn["scale"])
+            mvs_sd[f"{prefix}.bias"] = t(bn["bias"])
+            mvs_sd[f"{prefix}.running_mean"] = t(bn["mean"])
+            mvs_sd[f"{prefix}.running_var"] = t(bn["var"])
+            mvs_sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0)
+
+        feat = mvsnet_params["feature"]
+        for group, cfg in _FEATURE_CFG.items():
+            for i in range(len(cfg)):
+                w = np.transpose(np.asarray(feat[group][i]["conv"]["kernel"]),
+                                 (3, 2, 0, 1))
+                mvs_sd[f"feature.{group}.{i}.conv.weight"] = t(w)
+                put_abn(f"feature.{group}.{i}.bn", feat[group][i]["bn"])
+        top = feat["toplayer"]
+        mvs_sd["feature.toplayer.weight"] = t(
+            np.transpose(np.asarray(top["kernel"]), (3, 2, 0, 1)))
+        mvs_sd["feature.toplayer.bias"] = t(top["bias"])
+
+        cr = mvsnet_params["cost_reg_2"]
+        for name, *_ in _COSTREG_ENC:
+            w = np.transpose(np.asarray(cr[name]["conv"]["kernel"]),
+                             (4, 3, 0, 1, 2))
+            mvs_sd[f"cost_reg_2.{name}.conv.weight"] = t(w)
+            put_abn(f"cost_reg_2.{name}.bn", cr[name]["bn"])
+        for name, _ci, _co in _COSTREG_DEC:
+            # undo the import-time spatial flip + IO transpose
+            w = np.transpose(np.asarray(cr[name]["deconv"]["kernel"]),
+                             (3, 4, 0, 1, 2))[:, :, ::-1, ::-1, ::-1]
+            mvs_sd[f"cost_reg_2.{name}.0.weight"] = t(w.copy())
+            bn = cr[name]["bn"]
+            mvs_sd[f"cost_reg_2.{name}.1.weight"] = t(bn["scale"])
+            mvs_sd[f"cost_reg_2.{name}.1.bias"] = t(bn["bias"])
+            mvs_sd[f"cost_reg_2.{name}.1.running_mean"] = t(bn["mean"])
+            mvs_sd[f"cost_reg_2.{name}.1.running_var"] = t(bn["var"])
+            mvs_sd[f"cost_reg_2.{name}.1.num_batches_tracked"] = \
+                torch.tensor(0)
+        ck["network_mvs_state_dict"] = mvs_sd
+
+    if volume is not None:
+        v = np.transpose(np.asarray(volume), (3, 0, 1, 2))[None]
+        ck["volume"] = {"feat_volume": t(v)}
+
+    import torch as _torch
+    _torch.save(ck, path)
+    return path
+
+
 def load_reference_checkpoint(path: str, net_type: str = "v0") -> dict:
     """Full import: returns {'global_step', 'mlp', 'mvsnet'[, 'volume']}."""
     ck = load_torch_state(path)

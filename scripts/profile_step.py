@@ -122,3 +122,14 @@ def mlp_only(m):
     return run_network(m, pts_ndc, dirs_const, feats_const, net_type="v0")
 
 timeit("xla mlp fwd only", jax.jit(mlp_only), mlp)
+
+# banded-splat train step
+def render_fast(mlp_p, vol):
+    return render_rays(mlp_p, vol, pts, pts_ndc, z_vals, rays_d,
+                       w2c_ref=jnp.eye(4), w2cs=w2cs, intrinsics=intrs,
+                       imgs=imgs, fast_volume_grad=True)["rgb"]
+
+loss_both_fast = jax.jit(jax.grad(
+    lambda p: jnp.mean((render_fast(p["mlp"], p["vol"]) - target) ** 2)))
+timeit("grad mlp+volume (banded splat)", loss_both_fast,
+       {"mlp": mlp, "vol": volume})

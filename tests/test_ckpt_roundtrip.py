@@ -1,0 +1,51 @@
+"""Export -> import roundtrip of the reference checkpoint format."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+CKPT = "/root/reference/ckpts/mvsnerf-v0.tar"
+pytestmark = pytest.mark.skipif(not os.path.exists(CKPT),
+                                reason="reference checkpoint not present")
+
+
+def test_export_import_roundtrip(tmp_path):
+    from mvsnerf_tpu.io.torch_ckpt import (export_reference_checkpoint,
+                                           load_reference_checkpoint)
+    ck = load_reference_checkpoint(CKPT)
+    rng = np.random.default_rng(0)
+    volume = rng.standard_normal((8, 10, 12, 8)).astype(np.float32)
+    path = str(tmp_path / "export.tar")
+    export_reference_checkpoint(path, ck["mlp"], ck["mvsnet"], volume,
+                                global_step=123)
+    back = load_reference_checkpoint(path)
+    assert back["global_step"] == 123
+    for a, b in zip(jax.tree.leaves(ck["mlp"]), jax.tree.leaves(back["mlp"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ck["mvsnet"]),
+                    jax.tree.leaves(back["mvsnet"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(back["volume"]), volume)
+
+
+def test_exported_tar_loads_in_torch(tmp_path):
+    """The exported container must load with plain torch and have the
+    reference's exact key set."""
+    import torch
+    from mvsnerf_tpu.io.torch_ckpt import (export_reference_checkpoint,
+                                           load_reference_checkpoint)
+    ck = load_reference_checkpoint(CKPT)
+    path = str(tmp_path / "export.tar")
+    export_reference_checkpoint(path, ck["mlp"], ck["mvsnet"])
+    ours = torch.load(path, map_location="cpu", weights_only=False)
+    ref = torch.load(CKPT, map_location="cpu", weights_only=False)
+    assert set(ours["network_fn_state_dict"]) == \
+        set(ref["network_fn_state_dict"])
+    assert set(ours["network_mvs_state_dict"]) == \
+        set(ref["network_mvs_state_dict"])
+    for k, v in ref["network_fn_state_dict"].items():
+        np.testing.assert_array_equal(ours["network_fn_state_dict"][k],
+                                      v.numpy())
