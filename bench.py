@@ -11,6 +11,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+from functools import partial
 import os
 import time
 
@@ -106,7 +107,7 @@ def main():
     opt = optax.adam(5e-4)
     opt_state = opt.init(params)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, xs, ys, target, key):
         loss, grads = jax.value_and_grad(loss_fn)(params, xs, ys, target, key)
         updates, opt_state = opt.update(grads, opt_state, params)

@@ -28,9 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pe63(x, n_freqs: int = 10):
-    """[x, sin(f-major), cos(f-major)] positional encoding (models.py:47-51),
-    built from 2-D ops only (TPU-friendly)."""
-    freqs = 2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)
+    """[x, sin(f-major), cos(f-major)] positional encoding (models.py:47-51).
+    Frequencies are Python floats — Mosaic has no 1-D iota, and these are
+    compile-time constants anyway."""
+    freqs = [float(2.0 ** k) for k in range(n_freqs)]
     parts = [x]
     scaled = [x * f for f in freqs]
     parts += [jnp.sin(s) for s in scaled]

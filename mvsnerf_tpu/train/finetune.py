@@ -10,6 +10,7 @@ importance sampling (use_density_volume, refreshed every 200 steps).
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import numpy as np
 
@@ -166,7 +167,7 @@ class FinetuneSystem:
             out = render_fn(params, rays, key, density_volume)
             return jnp.mean((out["rgb"] - rgbs) ** 2)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, rays, rgbs, key):
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, rays, rgbs, key, self.density_volume)

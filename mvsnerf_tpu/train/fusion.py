@@ -23,6 +23,7 @@ Deviations from the reference, on purpose:
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import numpy as np
 
@@ -231,7 +232,7 @@ class FusionFinetuneSystem:
             out = render_fn(params, rays, key, density_volume)
             return jnp.mean((out["rgb"] - rgbs) ** 2)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, rays, rgbs, key, density_volume):
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, rays, rgbs, key, density_volume)

@@ -12,6 +12,7 @@ same images on every chip and costs far less than the 131k-sample MLP+grad).
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import numpy as np
 
@@ -149,7 +150,7 @@ class GeneralizableSystem:
                         jax.tree.map(lambda g: jax.lax.pmean(g, RAY_AXIS),
                                      grads))
 
-            @jax.jit
+            @partial(jax.jit, donate_argnums=(0, 1))
             def step(params, opt_state, batch, key):
                 fn = jax.shard_map(
                     sharded_grads, mesh=self.mesh,
@@ -161,7 +162,7 @@ class GeneralizableSystem:
                 return optax.apply_updates(params, updates), opt_state, \
                     loss, aux
         else:
-            @jax.jit
+            @partial(jax.jit, donate_argnums=(0, 1))
             def step(params, opt_state, batch, key):
                 (loss, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, batch, key)
