@@ -1,0 +1,131 @@
+"""Ray builders, chunked rendering, and attention-variant MLP tests."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+RNG = np.random.default_rng(31)
+
+
+def test_build_rays_train_shapes_and_gather():
+    from mvsnerf_tpu.ops.geometry import build_rays_train
+    H, W = 24, 32
+    img = jnp.asarray(RNG.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    depth = jnp.asarray(RNG.uniform(2, 6, (H, W)).astype(np.float32))
+    intr = jnp.asarray([[30.0, 0, 16], [0, 30.0, 12], [0, 0, 1]])
+    c2w = jnp.eye(4)
+    w2c = jnp.eye(4)
+    rb = build_rays_train(jax.random.PRNGKey(0), img, depth, intr, c2w,
+                          w2c, intr, jnp.asarray([2.0, 6.0]),
+                          jnp.asarray([2.0, 6.0]), n_rays=64, n_samples=8)
+    assert rb.pts_world.shape == (64, 8, 3)
+    assert rb.pts_ndc.shape == (64, 8, 3)
+    assert rb.colors.shape == (64, 3)
+    # gathered colors match the image at the integer pixel coords
+    xs = np.asarray(rb.pixel_xy[:, 0]).astype(int)
+    ys = np.asarray(rb.pixel_xy[:, 1]).astype(int)
+    np.testing.assert_allclose(np.asarray(rb.colors),
+                               np.asarray(img)[ys, xs], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rb.depths),
+                               np.asarray(depth)[ys, xs], atol=1e-6)
+    # z values within near/far and increasing
+    z = np.asarray(rb.z_vals)
+    assert z.min() >= 2.0 - 1e-5 and z.max() <= 6.0 + 1e-5
+    assert (np.diff(z, axis=-1) > 0).all()
+
+
+def test_build_rays_test_covers_image():
+    from mvsnerf_tpu.ops.geometry import build_rays_test
+    H, W = 6, 8
+    intr = jnp.asarray([[10.0, 0, 4], [0, 10.0, 3], [0, 0, 1]])
+    rb = build_rays_test(H, W, jnp.eye(4), jnp.eye(4), intr,
+                         jnp.asarray([2.0, 6.0]),
+                         jnp.asarray([2.0, 6.0]), n_samples=4)
+    assert rb.pts_world.shape == (H * W, 4, 3)
+    xy = np.asarray(rb.pixel_xy)
+    # row-major full coverage
+    np.testing.assert_array_equal(xy[:W, 1], 0)
+    np.testing.assert_array_equal(xy[::W, 0], 0)
+
+
+def test_render_image_chunked_matches_unchunked():
+    from mvsnerf_tpu.render.renderer import render_image_chunked
+    n = 37  # ragged vs chunk 8
+
+    def fn(a, b):
+        return {"x": a * 2 + b.sum(-1, keepdims=True), "y": a[:, :1]}
+
+    a = jnp.asarray(RNG.standard_normal((n, 4)).astype(np.float32))
+    b = jnp.asarray(RNG.standard_normal((n, 3)).astype(np.float32))
+    out = render_image_chunked(fn, (a, b), n, chunk=8)
+    ref = fn(a, b)
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(ref["x"]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["y"]), np.asarray(ref["y"]),
+                               atol=1e-6)
+
+
+def torch_mha(p, q, mask=None, n_head=4, d_k=4, d_v=4):
+    """Reference MultiHeadAttention (models.py:92-141) in torch from our
+    param pytree."""
+    def lin(name, x):
+        return x @ torch.from_numpy(np.asarray(p[name]["kernel"]))
+
+    B, L, dm = q.shape
+    residual = q
+    qh = lin("w_qs", q).view(B, L, n_head, d_k).transpose(1, 2)
+    kh = lin("w_ks", q).view(B, L, n_head, d_k).transpose(1, 2)
+    vh = lin("w_vs", q).view(B, L, n_head, d_v).transpose(1, 2)
+    attn = (qh / d_k ** 0.5) @ kh.transpose(2, 3)
+    if mask is not None:
+        attn = attn.masked_fill(mask.unsqueeze(1) == 0, -1e9)
+    attn = F.softmax(attn, dim=-1)
+    out = (attn @ vh).transpose(1, 2).contiguous().view(B, L, -1)
+    out = lin("fc", out) + residual
+    return F.layer_norm(out, (dm,),
+                        torch.from_numpy(np.asarray(p["layer_norm"]["scale"])),
+                        torch.from_numpy(np.asarray(p["layer_norm"]["bias"])),
+                        eps=1e-6)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_mha_matches_torch(masked):
+    from mvsnerf_tpu.models import init_mha, multi_head_attention
+    p = init_mha(jax.random.PRNGKey(0), 4, 12, 4, 4)
+    x = RNG.standard_normal((5, 3, 12)).astype(np.float32)
+    mask = (RNG.uniform(size=(5, 3, 1)) > 0.3).astype(np.float32) \
+        if masked else None
+    ours, _ = multi_head_attention(p, jnp.asarray(x), jnp.asarray(x),
+                                   jnp.asarray(x), 4, 4, 4,
+                                   mask=jnp.asarray(mask)
+                                   if masked else None)
+    ref = torch_mha(p, torch.from_numpy(x),
+                    torch.from_numpy(mask) if masked else None)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def test_v1_mlp_output_layout():
+    from mvsnerf_tpu.models import init_mlp, mlp_apply
+    p = init_mlp(jax.random.PRNGKey(2), "v1", D=6, W=128)
+    # input: 63 PE + 8 vol + 12 colors + 3 dirs
+    x = jnp.asarray(RNG.standard_normal((10, 86)).astype(np.float32))
+    out = mlp_apply(p, x, "v1", 63, 3)
+    # [rgb(3), alpha(1), colors(3), colors(3)] (models.py:458-461)
+    assert out.shape == (10, 10)
+    np.testing.assert_allclose(np.asarray(out[:, 4:7]),
+                               np.asarray(out[:, 7:10]), atol=0)
+    assert (np.asarray(out[:, :3]) >= 0).all()
+    assert (np.asarray(out[:, :3]) <= 1).all()
+
+
+def test_fusion_mlp_shapes():
+    from mvsnerf_tpu.models import init_mlp, mlp_fusion_apply
+    p = init_mlp(jax.random.PRNGKey(3), "fusion", D=6, W=128)
+    x = jnp.asarray(RNG.standard_normal((4, 8, 86)).astype(np.float32))
+    out = mlp_fusion_apply(p, x, 63, 3)
+    assert out.shape == (4, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()

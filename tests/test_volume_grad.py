@@ -92,3 +92,14 @@ def test_importance_sampled_zs():
         lambda v: jnp.sum(grid_sample_3d(v, ndc * 2 - 1) * cot))(vol)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_banded_forward_matches_gather():
+    from mvsnerf_tpu.ops.volume_grad import sample_volume_banded
+    vol = jnp.asarray(RNG.standard_normal((D, H, W, C)).astype(np.float32))
+    ndc = stratified_ndc(8, 16, key=5)
+    ref = grid_sample_3d(vol, ndc * 2 - 1)
+    out32 = sample_volume_banded(vol, ndc, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(ref), atol=1e-5)
+    out16 = sample_volume_banded(vol, ndc)  # bf16 multiply
+    assert float(jnp.abs(out16 - ref).max()) < 0.05
