@@ -99,6 +99,8 @@ def config_parser(cmd=None):
                         help="compute precision for the hot path")
     parser.add_argument("--num_devices", type=int, default=0,
                         help="devices to use (0 = all)")
+    parser.add_argument("--max_steps", type=int, default=0,
+                        help="cap training steps (0 = schedule default)")
 
     if isinstance(cmd, str):
         cmd = shlex.split(cmd)

@@ -90,10 +90,18 @@ _COSTREG_DEC = [("conv7", 64, 32), ("conv9", 32, 16), ("conv11", 16, 8)]
 def cost_reg_apply(params, x, use_running_stats: bool = False):
     """3-D U-Net: x (B, D, H, W, Cin) -> (B, D, H, W, 8) (models.py:756-769).
 
-    D, H, W must be divisible by 8 (three stride-2 levels with exact
-    transposed-conv inverses) — the reference has the same constraint
-    implicitly (D=128, stride-4 features + pad).
+    The three stride-2 levels require D, H, W divisible by 8 (the reference
+    has the same implicit constraint: D=128, stride-4 features + pad 24).
+    Inputs that don't divide are zero-padded up to the next multiple of 8
+    and the output cropped back — a no-op at reference resolutions, and it
+    keeps small/odd debug resolutions working.
     """
+    _, d0, h0, w0, _ = x.shape
+    pads = [(-s) % 8 for s in (d0, h0, w0)]
+    if any(pads):
+        x = jnp.pad(x, ((0, 0), (0, pads[0]), (0, pads[1]), (0, pads[2]),
+                        (0, 0)))
+
     def enc(name, y, stride):
         p = params[name]
         y = conv3d(p["conv"], y, stride=stride, padding=1)
@@ -111,6 +119,8 @@ def cost_reg_apply(params, x, use_running_stats: bool = False):
     y = conv4 + dec("conv7", y)
     y = conv2 + dec("conv9", y)
     y = conv0 + dec("conv11", y)
+    if any(pads):
+        y = y[:, :d0, :h0, :w0]
     return y
 
 

@@ -1,6 +1,10 @@
-"""Shared training utilities: batch iteration, image unpreprocessing."""
+"""Shared training utilities: batch iteration, prefetching, image
+unpreprocessing."""
 
 from __future__ import annotations
+
+import queue
+import threading
 
 import numpy as np
 
@@ -48,3 +52,41 @@ class RayBatchIterator:
                                                self.arrays["rgbs"], idx)
                 return {"rays": rays, "rgbs": rgbs}
         return {k: v[idx] for k, v in self.arrays.items()}
+
+
+class Prefetcher:
+    """Background-thread batch prefetch: overlaps host-side batch assembly
+    (shuffle + gather, released-GIL native copies) with the device step —
+    the role of the reference's DataLoader worker pool
+    (train_mvs_nerf_finetuning_pl.py:126-131, num_workers=8)."""
+
+    def __init__(self, iterator, depth: int = 2):
+        self._it = iterator
+        self._q = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        while not self._stop.is_set():
+            batch = next(self._it)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

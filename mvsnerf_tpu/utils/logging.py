@@ -23,22 +23,30 @@ class MetricLogger:
             except Exception:
                 self._tb = None
         self._csv_path = os.path.join(log_dir, "metrics.csv")
-        self._csv_keys = None
+        self._csv_keys = ["step"]
+        self._rows = []
 
     def log_scalars(self, step: int, scalars: dict):
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), step)
         row = {"step": step, **{k: float(v) for k, v in scalars.items()}}
-        write_header = not os.path.exists(self._csv_path)
-        with open(self._csv_path, "a", newline="") as f:
-            if self._csv_keys is None:
-                self._csv_keys = list(row)
-            w = csv.DictWriter(f, fieldnames=self._csv_keys,
-                               extrasaction="ignore")
-            if write_header:
+        self._rows.append(row)
+        new_keys = [k for k in row if k not in self._csv_keys]
+        if new_keys:
+            # key set grew: rewrite with the union header
+            self._csv_keys += new_keys
+            with open(self._csv_path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._csv_keys)
                 w.writeheader()
-            w.writerow(row)
+                w.writerows(self._rows)
+        else:
+            write_header = not os.path.exists(self._csv_path)
+            with open(self._csv_path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._csv_keys)
+                if write_header:
+                    w.writeheader()
+                w.writerow(row)
 
     def log_image(self, step: int, tag: str, image):
         """image: (H, W, 3) float [0,1]."""

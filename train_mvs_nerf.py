@@ -39,7 +39,7 @@ def main():
     ckpt_dir = os.path.join(log_dir, "ckpts")
     system.restore(ckpt_dir)  # resume-by-default
     system.fit(train_ds, num_epochs=args.num_epochs, logger=logger,
-               ckpt_dir=ckpt_dir)
+               ckpt_dir=ckpt_dir, max_steps=args.max_steps or None)
 
     # validation pass (PSNR + panels)
     from mvsnerf_tpu.eval.metrics import psnr

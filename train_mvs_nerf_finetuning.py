@@ -27,7 +27,8 @@ def main():
 
     system = FinetuneSystem(args, train_ds, val_ds)
     ckpt_dir = os.path.join(log_dir, "ckpts")
-    system.fit(num_steps=10000, logger=logger, ckpt_dir=ckpt_dir)
+    n_steps = args.max_steps or 10000
+    system.fit(num_steps=n_steps, logger=logger, ckpt_dir=ckpt_dir)
 
     # validate on held-out views
     import numpy as np
@@ -39,12 +40,12 @@ def main():
         h, w = gt.shape[:2]
         out = system.render_image(sample["rays"], chunk=args.chunk * 8)
         pred = np.clip(np.asarray(out["rgb"]).reshape(h, w, 3), 0, 1)
-        logger.log_scalars(10000 + i, {
+        logger.log_scalars(n_steps + i, {
             "val/PSNR": float(psnr(pred, gt)),
             "val/SSIM": float(ssim(pred, gt)),
         })
         dvis, _ = visualize_depth(np.asarray(out["depth"]).reshape(h, w))
-        logger.save_panel(10000, f"val_{i:02d}", panel([gt, pred, dvis]))
+        logger.save_panel(n_steps, f"val_{i:02d}", panel([gt, pred, dvis]))
     logger.flush()
 
 

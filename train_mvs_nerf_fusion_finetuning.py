@@ -22,7 +22,7 @@ def main():
     val_ds = dataset_cls(args, "val")
 
     system = FusionFinetuneSystem(args, train_ds, val_ds)
-    system.fit(num_steps=10000, logger=logger,
+    system.fit(num_steps=args.max_steps or 10000, logger=logger,
                ckpt_dir=os.path.join(log_dir, "ckpts"))
     logger.flush()
 
