@@ -205,10 +205,11 @@ class FinetuneSystem:
     def fit(self, num_steps: int = 10000, log_every: int = 100,
             logger=None, ckpt_dir: str | None = None, seed: int = 0):
         args = self.args
-        it = RayBatchIterator(
+        from .common import Prefetcher
+        it = Prefetcher(RayBatchIterator(
             {"rays": self.train_dataset.all_rays,
              "rgbs": self.train_dataset.all_rgbs},
-            args.batch_size, seed=seed)
+            args.batch_size, seed=seed))
         key = jax.random.PRNGKey(seed)
         losses = []
         for step_i in range(num_steps):
@@ -228,6 +229,7 @@ class FinetuneSystem:
                 })
             if ckpt_dir and (step_i + 1) % 5000 == 0:
                 self.save(ckpt_dir, step_i + 1)
+        it.close()
         if ckpt_dir:
             self.save(ckpt_dir, num_steps)
         return losses

@@ -260,10 +260,11 @@ class FusionFinetuneSystem:
     def fit(self, num_steps: int = 10000, logger=None,
             ckpt_dir: str | None = None, seed: int = 0):
         args = self.args
-        it = RayBatchIterator(
+        from .common import Prefetcher
+        it = Prefetcher(RayBatchIterator(
             {"rays": self.train_dataset.all_rays,
              "rgbs": self.train_dataset.all_rgbs},
-            args.batch_size, seed=seed)
+            args.batch_size, seed=seed))
         key = jax.random.PRNGKey(seed)
         losses = []
         for step_i in range(num_steps):
