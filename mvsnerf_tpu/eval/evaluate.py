@@ -86,17 +86,34 @@ class Evaluator:
                                     rays.shape[0], chunk=chunk)
 
     def evaluate(self, max_images: int | None = None, lpips_fn=None,
-                 save_dir: str | None = None, chunk: int = 5120):
-        """Run the full eval loop. Returns per-image + mean metrics."""
+                 save_dir: str | None = None, chunk: int = 5120,
+                 per_image_sources: bool = False, train_c2ws=None,
+                 train_indices=None):
+        """Run the full eval loop. Returns per-image + mean metrics.
+
+        With `per_image_sources`, the 3 source views are re-selected per
+        val image as the nearest training views by camera center and the
+        encoding volume rebuilt (the notebook protocol, renderer.ipynb
+        cell 11); `train_c2ws`/`train_indices` give the candidate poses and
+        their dataset view ids.
+        """
         args = self.args
         ds = self.dataset
-        volume, imgs, near_far, pose_source = self.build_volume()
+        if not per_image_sources:
+            volume, imgs, near_far, pose_source = self.build_volume()
         results = []
         n = len(ds)
         if max_images:
             n = min(n, max_images)
         for i in range(n):
             sample = ds[i]
+            if per_image_sources:
+                tgt_c2w = np.asarray(ds.poses[i])
+                sel = nearest_source_views(tgt_c2w, np.asarray(train_c2ws),
+                                           3)
+                pair_idx = np.asarray(train_indices)[sel]
+                volume, imgs, near_far, pose_source = \
+                    self.build_volume(pair_idx=pair_idx)
             rays = sample["rays"]
             gt = np.asarray(sample["rgbs"])
             H, W = gt.shape[:2]

@@ -83,3 +83,16 @@ def test_video_rendering(tmp_path):
     import os
     written = glob.glob(str(tmp_path / "video.*"))
     assert written and os.path.getsize(written[0]) > 0
+
+
+def test_evaluator_per_image_sources():
+    from mvsnerf_tpu.eval.evaluate import Evaluator
+    from mvsnerf_tpu.models import init_mlp, init_mvsnet
+    args = config_parser(cmd=f"--pad {PAD} --N_samples 8 --dataset_name llff")
+    ds = FakeSceneDataset()
+    ds.poses = ds.c2ws  # val poses
+    ev = Evaluator(args, ds, init_mvsnet(jax.random.PRNGKey(0)),
+                   init_mlp(jax.random.PRNGKey(1), "v0"))
+    out = ev.evaluate(max_images=2, chunk=256, per_image_sources=True,
+                      train_c2ws=ds.c2ws, train_indices=np.arange(5))
+    assert np.isfinite(out["mean"]["psnr"])
