@@ -17,48 +17,21 @@ fused Pallas path for the hot per-ray trilinear+MLP pipeline lives in
 
 from __future__ import annotations
 
-import jax
+import functools
 
 import jax.numpy as jnp
 
 
-def _axis_patch_weights(coord, size, padding_mode):
-    """Per-axis interpolation weights mapped onto a 2-wide gather patch.
-
-    The patch start is floor(coord) CLIPPED into [0, size-2] by the gather
-    (mode='clip'), so corner weights are remapped to their position within
-    the clipped patch; out-of-range corners get zero weight under 'zeros'
-    padding ('border' clamps the coordinate first, torch semantics).
-
-    Returns (start (int32), w (..., 2)).
-    """
-    if padding_mode == "border":
-        coord = jnp.clip(coord, 0.0, size - 1.0)
-    c0 = jnp.floor(coord)
-    frac = coord - c0
-    c0i = c0.astype(jnp.int32)
-    start = jnp.clip(c0i, 0, max(size - 2, 0))
-    w0 = 1.0 - frac
-    w1 = frac
-    if padding_mode == "zeros":
-        w0 = jnp.where((c0i >= 0) & (c0i <= size - 1), w0, 0.0)
-        w1 = jnp.where((c0i + 1 >= 0) & (c0i + 1 <= size - 1), w1, 0.0)
-    elif padding_mode != "border":
-        raise ValueError(f"unsupported padding_mode: {padding_mode}")
-    pos0 = c0i - start            # patch position of corner 0 (-1, 0, or 1)
-    w = jnp.stack([jnp.where(pos0 == 0, w0, 0.0) +
-                   jnp.where(pos0 == -1, w1, 0.0),
-                   jnp.where(pos0 == 1, w0, 0.0) +
-                   jnp.where(pos0 == 0, w1, 0.0)], axis=-1)
-    return start, w
+def _gather_2d(img, iy, ix):
+    """img: (H, W, C); iy/ix: int32 index arrays of identical shape."""
+    H, W, C = img.shape
+    flat = img.reshape(H * W, C)
+    lin = iy * W + ix
+    return jnp.take(flat, lin.reshape(-1), axis=0).reshape(*lin.shape, C)
 
 
 def grid_sample_2d(img, grid, padding_mode: str = "zeros"):
     """Bilinear sample `img` at normalized grid coords, align_corners=True.
-
-    One lax.gather of 2x2xC patches per call (mode='clip' handles bounds)
-    instead of 4 corner gathers — gather cost on TPU scales with the index
-    count, so patch gathering is ~4x cheaper.
 
     Args:
         img:  (H, W, C) array.
@@ -68,32 +41,68 @@ def grid_sample_2d(img, grid, padding_mode: str = "zeros"):
     Returns:
         (..., C) sampled values.
     """
-    H, W, C = img.shape
-    lead = grid.shape[:-1]
-    x = ((grid[..., 0] + 1.0) * 0.5 * (W - 1)).reshape(-1)
-    y = ((grid[..., 1] + 1.0) * 0.5 * (H - 1)).reshape(-1)
+    H, W, _ = img.shape
+    x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
 
-    sx, wx = _axis_patch_weights(x, W, padding_mode)
-    sy, wy = _axis_patch_weights(y, H, padding_mode)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
 
-    starts = jnp.stack([sy, sx], axis=-1)  # (N, 2)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
-        start_index_map=(0, 1))
-    patches = jax.lax.gather(
-        img, starts, dnums, slice_sizes=(2, 2, C),
-        mode=jax.lax.GatherScatterMode.CLIP)          # (N, 2, 2, C)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
 
-    w = wy[:, :, None] * wx[:, None, :]               # (N, 2, 2)
-    out = jnp.sum(patches * w[..., None], axis=(1, 2))
-    return out.reshape(*lead, C)
+    x0c = jnp.clip(x0i, 0, W - 1)
+    x1c = jnp.clip(x1i, 0, W - 1)
+    y0c = jnp.clip(y0i, 0, H - 1)
+    y1c = jnp.clip(y1i, 0, H - 1)
+
+    v00 = _gather_2d(img, y0c, x0c)
+    v01 = _gather_2d(img, y0c, x1c)
+    v10 = _gather_2d(img, y1c, x0c)
+    v11 = _gather_2d(img, y1c, x1c)
+
+    w00 = (1 - wy) * (1 - wx)
+    w01 = (1 - wy) * wx
+    w10 = wy * (1 - wx)
+    w11 = wy * wx
+
+    if padding_mode == "zeros":
+        # Zero out contributions from out-of-range corners (per-corner mask,
+        # matching torch's behaviour at the boundary).
+        mx0 = (x0i >= 0) & (x0i <= W - 1)
+        mx1 = (x1i >= 0) & (x1i <= W - 1)
+        my0 = (y0i >= 0) & (y0i <= H - 1)
+        my1 = (y1i >= 0) & (y1i <= H - 1)
+        w00 = jnp.where(my0 & mx0, w00, 0.0)
+        w01 = jnp.where(my0 & mx1, w01, 0.0)
+        w10 = jnp.where(my1 & mx0, w10, 0.0)
+        w11 = jnp.where(my1 & mx1, w11, 0.0)
+    elif padding_mode != "border":
+        raise ValueError(f"unsupported padding_mode: {padding_mode}")
+
+    out = (
+        v00 * w00[..., None]
+        + v01 * w01[..., None]
+        + v10 * w10[..., None]
+        + v11 * w11[..., None]
+    )
+    return out
+
+
+def _gather_3d(vol, iz, iy, ix):
+    """vol: (D, H, W, C); iz/iy/ix: int32 index arrays of identical shape."""
+    D, H, W, C = vol.shape
+    flat = vol.reshape(D * H * W, C)
+    lin = (iz * H + iy) * W + ix
+    return jnp.take(flat, lin.reshape(-1), axis=0).reshape(*lin.shape, C)
 
 
 def grid_sample_3d(vol, grid, padding_mode: str = "zeros"):
     """Trilinear sample `vol` at normalized grid coords, align_corners=True.
-
-    One lax.gather of 2x2x2xC patches per call instead of 8 corner gathers
-    (see grid_sample_2d).
 
     Args:
         vol:  (D, H, W, C) array (depth-major, channel-last).
@@ -104,27 +113,52 @@ def grid_sample_3d(vol, grid, padding_mode: str = "zeros"):
     Returns:
         (..., C) sampled values.
     """
-    D, H, W, C = vol.shape
-    lead = grid.shape[:-1]
-    x = ((grid[..., 0] + 1.0) * 0.5 * (W - 1)).reshape(-1)
-    y = ((grid[..., 1] + 1.0) * 0.5 * (H - 1)).reshape(-1)
-    z = ((grid[..., 2] + 1.0) * 0.5 * (D - 1)).reshape(-1)
+    D, H, W, _ = vol.shape
+    x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+    z = (grid[..., 2] + 1.0) * 0.5 * (D - 1)
 
-    sx, wx = _axis_patch_weights(x, W, padding_mode)
-    sy, wy = _axis_patch_weights(y, H, padding_mode)
-    sz, wz = _axis_patch_weights(z, D, padding_mode)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    wx = x - x0
+    wy = y - y0
+    wz = z - z0
 
-    starts = jnp.stack([sz, sy, sx], axis=-1)  # (N, 3)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(),
-        start_index_map=(0, 1, 2))
-    patches = jax.lax.gather(
-        vol, starts, dnums, slice_sizes=(2, 2, 2, C),
-        mode=jax.lax.GatherScatterMode.CLIP)       # (N, 2, 2, 2, C)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
 
-    w = wz[:, :, None, None] * wy[:, None, :, None] * wx[:, None, None, :]
-    out = jnp.sum(patches * w[..., None], axis=(1, 2, 3))
-    return out.reshape(*lead, C)
+    out = None
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi = x0i + dx
+                yi = y0i + dy
+                zi = z0i + dz
+                w = (
+                    (wx if dx else 1 - wx)
+                    * (wy if dy else 1 - wy)
+                    * (wz if dz else 1 - wz)
+                )
+                if padding_mode == "zeros":
+                    m = (
+                        (xi >= 0) & (xi <= W - 1)
+                        & (yi >= 0) & (yi <= H - 1)
+                        & (zi >= 0) & (zi <= D - 1)
+                    )
+                    w = jnp.where(m, w, 0.0)
+                elif padding_mode != "border":
+                    raise ValueError(f"unsupported padding_mode: {padding_mode}")
+                v = _gather_3d(
+                    vol,
+                    jnp.clip(zi, 0, D - 1),
+                    jnp.clip(yi, 0, H - 1),
+                    jnp.clip(xi, 0, W - 1),
+                )
+                term = v * w[..., None]
+                out = term if out is None else out + term
+    return out
 
 
 def index_point_feature(volume, xyz_ndc):
