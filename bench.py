@@ -101,7 +101,7 @@ def main():
         out = render_rays(params["mlp"], params["volume"], pts_world,
                           pts_ndc, z_vals, rays_d, w2c_ref=w2cs[0],
                           w2cs=w2cs, intrinsics=intrs, imgs=imgs,
-                          fast_volume_grad=True)
+                          fast_volume_grad=True, volume_band_k=4)
         return jnp.mean((out["rgb"] - target) ** 2)
 
     opt = optax.adam(5e-4)

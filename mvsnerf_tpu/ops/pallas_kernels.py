@@ -14,6 +14,15 @@ b @ W_bot) so no in-kernel concatenation of misaligned tiles is needed.
 
 The kernel covers the inference/eval path (renderer.ipynb's chunk loop,
 validation renders, video). Training keeps the XLA path (autodiff).
+
+Measured context (v5e, batch 1024 rays x 128 samples): the XLA PE+MLP+
+composite path runs at ~2 ms — the render hot path is dominated by the
+feature gathers (trilinear ~21 ms, per-view color ~12 ms; see
+ops/volume_grad.py for the banded-matmul replacement), so this kernel's
+HBM-traffic saving is secondary on current hardware. It is verified in
+interpret mode; Mosaic compilation through this environment's remote-compile
+tunnel hangs, so on-device validation is pending (kernels compile fine on
+directly-attached TPUs).
 """
 
 from __future__ import annotations

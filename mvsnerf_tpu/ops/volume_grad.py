@@ -210,3 +210,14 @@ def sample_volume_banded(volume, ndc, band_k: int = 8,
 
     _, cols = jax.lax.scan(column, None, (x.T, y.T, z.T))
     return jnp.swapaxes(cols, 0, 1)  # (N, S, C)
+
+
+def volume_band_width(depth_planes: int, n_samples: int,
+                      n_importance: int = 0) -> int:
+    """Safe z-band width for sample_volume_train: stratified sampling keeps
+    each column's z0 span <= 2*(D-1)/(S-1) + 1 slabs; importance-sampled
+    columns can widen arbitrarily, so fall back to the generous default."""
+    if n_importance > 0:
+        return 8
+    span = 2 * max(depth_planes - 1, 1) // max(n_samples - 1, 1) + 2
+    return max(4, min(8, span + 1))

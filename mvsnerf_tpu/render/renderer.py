@@ -85,7 +85,7 @@ def gen_angle_feature(c2ws, rays_pts, rays_dir):
 
 def gen_pts_feats(volume, pts_ndc, pts_world=None, w2cs=None,
                   intrinsics=None, imgs=None, use_color_volume=False,
-                  fast_volume_grad=False):
+                  fast_volume_grad=False, volume_band_k=8):
     """Per-sample MLP feature: 8ch encoding volume + 12ch color volume
     (renderer.py:124-136). With use_color_volume, everything is pre-baked
     into `volume` (renderer.py:134-135). `fast_volume_grad` routes the
@@ -94,7 +94,7 @@ def gen_pts_feats(volume, pts_ndc, pts_world=None, w2cs=None,
     the volume."""
     if fast_volume_grad:
         from ..ops.volume_grad import sample_volume_train
-        ray_feats = sample_volume_train(volume, pts_ndc)
+        ray_feats = sample_volume_train(volume, pts_ndc, volume_band_k)
     else:
         ray_feats = index_point_feature(volume, pts_ndc)
     if use_color_volume:
@@ -126,7 +126,8 @@ def render_rays(mlp_params, volume, pts_world, pts_ndc, z_vals, rays_dir,
                 w2c_ref=None, w2cs=None, intrinsics=None, imgs=None,
                 net_type: str = "v0", multires: int = 10,
                 multires_views: int = 0, use_color_volume: bool = False,
-                white_bkgd: bool = False, fast_volume_grad: bool = False):
+                white_bkgd: bool = False, fast_volume_grad: bool = False,
+                volume_band_k: int = 8):
     """The render entry (renderer.py:138-165).
 
     Args:
@@ -146,7 +147,8 @@ def render_rays(mlp_params, volume, pts_world, pts_ndc, z_vals, rays_dir,
 
     feats = gen_pts_feats(volume, pts_ndc, pts_world, w2cs, intrinsics, imgs,
                           use_color_volume=use_color_volume,
-                          fast_volume_grad=fast_volume_grad)
+                          fast_volume_grad=fast_volume_grad,
+                          volume_band_k=volume_band_k)
     raw = run_network(mlp_params, pts_ndc, angle, feats, net_type=net_type,
                       multires=multires, multires_views=multires_views)
     if raw.shape[-1] > 4:

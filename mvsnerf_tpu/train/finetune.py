@@ -144,6 +144,14 @@ class FinetuneSystem:
                 near=self.near_far[0], far=self.near_far[1], pad=args.pad,
                 lindisp=args.use_disp)
 
+        band_k = 8
+        try:
+            from ..ops.volume_grad import volume_band_width
+            band_k = volume_band_width(self.params["volume"].shape[0],
+                                       n_samples, args.N_importance)
+        except Exception:
+            pass
+
         def render_fn(params, rays, key, density_volume):
             pts, rays_o, rays_d, z_vals = ray_marcher(
                 key, rays, n_samples, perturb=args.perturb,
@@ -161,7 +169,7 @@ class FinetuneSystem:
                 net_type=args.net_type,
                 use_color_volume=args.use_color_volume,
                 white_bkgd=args.white_bkgd,
-                fast_volume_grad=True)
+                fast_volume_grad=True, volume_band_k=band_k)
 
         def loss_fn(params, rays, rgbs, key, density_volume):
             out = render_fn(params, rays, key, density_volume)

@@ -211,6 +211,9 @@ class FusionFinetuneSystem:
             self.opt_state = self.optimizer.init(self.params)
 
         pose_ref = self.pose_source_ref
+        from ..ops.volume_grad import volume_band_width
+        band_k = volume_band_width(self.params["volume"].shape[0],
+                                   n_samples, args.N_importance)
 
         def render_fn(params, rays, key, density_volume):
             pts, rays_o, rays_d, z_vals = ray_marcher(
@@ -226,7 +229,8 @@ class FusionFinetuneSystem:
                 params["mlp"], params["volume"], pts, pts_ndc, z_vals,
                 rays_d, w2c_ref=pose_ref["w2cs"][0],
                 net_type=args.net_type, use_color_volume=True,
-                white_bkgd=args.white_bkgd, fast_volume_grad=True)
+                white_bkgd=args.white_bkgd, fast_volume_grad=True,
+                volume_band_k=band_k)
 
         def loss_fn(params, rays, rgbs, key, density_volume):
             out = render_fn(params, rays, key, density_volume)

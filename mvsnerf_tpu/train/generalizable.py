@@ -78,6 +78,10 @@ class GeneralizableSystem:
             self.opt_state = optimizer.init(self.params)
         self.optimizer = optimizer
 
+        from ..ops.volume_grad import volume_band_width
+        from ..models.mvsnet import N_DEPTH_PLANES
+        band_k = volume_band_width(N_DEPTH_PLANES, n_samples)
+
         def loss_fn(params, batch, key):
             imgs_norm = batch["images"]          # (V, H, W, 3) normalized
             proj_mats = batch["proj_mats"]       # (V, 3, 4)
@@ -121,7 +125,8 @@ class GeneralizableSystem:
                 params["mlp"], volume, pts, pts_ndc, z_vals, rays_d,
                 w2c_ref=w2cs[0], w2cs=w2cs[:3], intrinsics=intrinsics[:3],
                 imgs=imgs[:3], net_type=args.net_type,
-                white_bkgd=args.white_bkgd, fast_volume_grad=True)
+                white_bkgd=args.white_bkgd, fast_volume_grad=True,
+                volume_band_k=band_k)
 
             img_loss = jnp.mean((out["rgb"] - target_rgb) ** 2)
             loss = img_loss
