@@ -84,7 +84,8 @@ def _plane_block_size(d: int, target: int = 16) -> int:
 
 
 def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
-                      plane_block: int | None = None):
+                      plane_block: int | None = None,
+                      fast_warp: bool = True):
     """Cross-view variance cost volume with warped source RGB
     (models.py:839-893, `build_volume_costvar_img`).
 
@@ -131,8 +132,15 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
         """depth_block: (plane_block,) -> per-block cost/masks/colors."""
         def warp_one(feat, img, pm):
             grid = plane_sweep_grid(pm, depth_block, h, w, pad)
-            wfeat = grid_sample_2d(feat, grid, padding_mode="zeros")
-            wimg = grid_sample_2d(img, grid, padding_mode="zeros")
+            if fast_warp:
+                # one banded dense warp over [feat | rgb] (ops/warp_fast.py)
+                from .warp_fast import bilinear_warp_banded
+                both = bilinear_warp_banded(
+                    jnp.concatenate([feat, img], axis=-1), grid)
+                wfeat, wimg = both[..., :C], both[..., C:]
+            else:
+                wfeat = grid_sample_2d(feat, grid, padding_mode="zeros")
+                wimg = grid_sample_2d(img, grid, padding_mode="zeros")
             return wfeat, wimg, in_bounds_mask(grid)
 
         # (V-1, B, hp, wp, ...) batched over source views.
