@@ -164,7 +164,11 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
         return cost, in_masks, colors
 
     blocks = depth_values.reshape(-1, plane_block)
-    cost_b, masks_b, colors_b = jax.lax.map(process_block, blocks)
+    # rematerialize per block: saving every block's warped volumes as
+    # backward residuals costs multiple GB at DTU resolution; recomputing
+    # the warp in the backward is ~free next to its banded-splat transpose
+    cost_b, masks_b, colors_b = jax.lax.map(jax.checkpoint(process_block),
+                                            blocks)
     # (nb, B, hp, wp, C') -> (D, hp, wp, C'); (nb, V, B, ...) -> (V, D, ...)
     cost = cost_b.reshape(D, hp, wp, cost_b.shape[-1])
     in_masks = masks_b.transpose(1, 0, 2, 3, 4).reshape(V, D, hp, wp)
