@@ -96,3 +96,36 @@ def test_evaluator_per_image_sources():
     out = ev.evaluate(max_images=2, chunk=256, per_image_sources=True,
                       train_c2ws=ds.c2ws, train_indices=np.arange(5))
     assert np.isfinite(out["mean"]["psnr"])
+
+
+def test_lpips_architecture(tmp_path):
+    """LPIPS runs with synthetic weights and behaves like a distance."""
+    import numpy as np
+    from mvsnerf_tpu.eval.metrics import LPIPS, _VGG16_CFG
+
+    rng = np.random.default_rng(0)
+    out = {}
+    cin = 3
+    ci = 0
+    for v in _VGG16_CFG:
+        if v == "M":
+            continue
+        out[f"conv{ci}_kernel"] = (rng.standard_normal((3, 3, cin, v))
+                                   .astype(np.float32) * 0.05)
+        out[f"conv{ci}_bias"] = np.zeros(v, np.float32)
+        cin = v
+        ci += 1
+    for j, c in enumerate([64, 128, 256, 512, 512]):
+        out[f"lin{j}"] = np.abs(rng.standard_normal(c)).astype(np.float32)
+    path = str(tmp_path / "lpips.npz")
+    np.savez(path, **out)
+
+    lp = LPIPS(path)
+    img = rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+    assert float(lp(img, img)) < 1e-6
+    other = rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+    assert float(lp(img, other)) > 0
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        LPIPS(str(tmp_path / "missing.npz"))
