@@ -32,6 +32,8 @@ N_SAMPLES = 128          # opt.py:64 default
 
 
 def main():
+    from mvsnerf_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     from mvsnerf_tpu.models import init_mlp, init_mvsnet, mvsnet_apply
     from mvsnerf_tpu.render import render_rays
     from mvsnerf_tpu.ops import get_ndc_coordinate, rays_from_pixels

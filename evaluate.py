@@ -15,6 +15,8 @@ from mvsnerf_tpu.io import load_reference_checkpoint
 
 
 def main():
+    from mvsnerf_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     args = config_parser()
     ck = load_reference_checkpoint(args.ckpt, args.net_type)
     dataset_cls = dataset_dict[args.dataset_name]

@@ -28,6 +28,18 @@ def profiler_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def enable_compilation_cache(path: str = "~/.cache/mvsnerf_tpu_xla"):
+    """Persistent XLA compilation cache: first compiles of the big programs
+    (the 3-D U-Net backward takes tens of minutes through some TPU compile
+    services) are reused across processes."""
+    import os
+
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
 def enable_nan_debugging(enable: bool = True):
     """The TPU analog of the reference's global
     torch.autograd.set_detect_anomaly(True) (models.py:2) — but opt-in, not

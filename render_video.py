@@ -17,6 +17,8 @@ from mvsnerf_tpu.train import FinetuneSystem
 
 
 def main():
+    from mvsnerf_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     args = config_parser()
     dataset_cls = dataset_dict[args.dataset_name]
     train_ds = dataset_cls(args, "train")

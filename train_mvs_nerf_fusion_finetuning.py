@@ -13,6 +13,8 @@ from mvsnerf_tpu.utils import MetricLogger
 
 
 def main():
+    from mvsnerf_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     args = config_parser()
     log_dir = os.path.join("runs_fine_tuning", args.expname or "exp")
     logger = MetricLogger(log_dir)
