@@ -85,7 +85,8 @@ def _plane_block_size(d: int, target: int = 16) -> int:
 
 def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
                       plane_block: int | None = None,
-                      fast_warp: bool = True):
+                      fast_warp: bool = True, warp_row_block: int = 16,
+                      warp_band: int = 32, warp_dtype=None):
     """Cross-view variance cost volume with warped source RGB
     (models.py:839-893, `build_volume_costvar_img`).
 
@@ -135,8 +136,10 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
             if fast_warp:
                 # one banded dense warp over [feat | rgb] (ops/warp_fast.py)
                 from .warp_fast import bilinear_warp_banded
+                dtype = warp_dtype if warp_dtype is not None else jnp.float32
                 both = bilinear_warp_banded(
-                    jnp.concatenate([feat, img], axis=-1), grid)
+                    jnp.concatenate([feat, img], axis=-1), grid,
+                    warp_row_block, warp_band, dtype)
                 wfeat, wimg = both[..., :C], both[..., C:]
             else:
                 wfeat = grid_sample_2d(feat, grid, padding_mode="zeros")

@@ -48,8 +48,9 @@ def _axis_parts(coord, size):
     return c0i, frac, m0, m1
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def bilinear_warp_banded(src, grid, row_block: int = 16, band: int = 32):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def bilinear_warp_banded(src, grid, row_block: int = 16, band: int = 32,
+                         compute_dtype=jnp.float32):
     """Bilinear zeros-padded warp, align_corners=True; equals
     grid_sample_2d(src, grid, 'zeros').
 
@@ -62,10 +63,10 @@ def bilinear_warp_banded(src, grid, row_block: int = 16, band: int = 32):
         band: source-row band height (static); blocks with a wider y-span
               use the exact gather fallback.
     """
-    return _warp_fwd_impl(src, grid, row_block, band)
+    return _warp_fwd_impl(src, grid, row_block, band, compute_dtype)
 
 
-def _warp_fwd_impl(src, grid, row_block, band):
+def _warp_fwd_impl(src, grid, row_block, band, compute_dtype=jnp.float32):
     h, w, C = src.shape
     lead = grid.shape[:-1]
     w_out = grid.shape[-2]
@@ -96,7 +97,8 @@ def _warp_fwd_impl(src, grid, row_block, band):
             vband = jax.lax.dynamic_slice(src, (ymin, 0, 0),
                                           (band_c, w, C))
             vband = vband.transpose(1, 0, 2).reshape(w, band_c * C)
-            t = jnp.dot(axw, vband,
+            t = jnp.dot(axw.astype(compute_dtype),
+                        vband.astype(compute_dtype),
                         preferred_element_type=jnp.float32)    # (m, band*C)
             t = t.reshape(m, band_c, C)
             ayw = _axis_onehot(y0 - ymin, fy, my0, my1, band_c)
@@ -113,11 +115,12 @@ def _warp_fwd_impl(src, grid, row_block, band):
     return out.reshape(*lead, C)
 
 
-def _warp_fwd(src, grid, row_block, band):
-    return _warp_fwd_impl(src, grid, row_block, band), (src, grid)
+def _warp_fwd(src, grid, row_block, band, compute_dtype):
+    return (_warp_fwd_impl(src, grid, row_block, band, compute_dtype),
+            (src, grid))
 
 
-def _warp_bwd(row_block, band, res, g):
+def _warp_bwd(row_block, band, compute_dtype, res, g):
     src, grid = res
     h, w, C = src.shape
     lead = grid.shape[:-1]
@@ -159,7 +162,8 @@ def _warp_bwd(row_block, band, res, g):
             ayw = _axis_onehot(y0 - ymin, fy, my0, my1, band_c)  # (m, band)
             # u[m, (band, c)] = ayw ⊗ g
             u = (ayw[:, :, None] * gc[:, None, :]).reshape(m, band_c * C)
-            gband = jnp.dot(axw.T, u,
+            gband = jnp.dot(axw.T.astype(compute_dtype),
+                            u.astype(compute_dtype),
                             preferred_element_type=jnp.float32)  # (w, band*C)
             gband = gband.reshape(w, band_c, C).transpose(1, 0, 2)
             cur = jax.lax.dynamic_slice(gs, (ymin, 0, 0), (band_c, w, C))
