@@ -146,9 +146,14 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
                 wimg = grid_sample_2d(img, grid, padding_mode="zeros")
             return wfeat, wimg, in_bounds_mask(grid)
 
-        # (V-1, B, hp, wp, ...) batched over source views.
-        wfeats, wimgs, masks = jax.vmap(warp_one)(feats[1:], imgs_l[1:],
-                                                  proj_mats[1:])
+        # Unrolled over the (static, small) source views: vmap would turn
+        # the warp's internal lax.cond into a select that executes BOTH the
+        # banded path and its gather fallback.
+        per_view = [warp_one(feats[i], imgs_l[i], proj_mats[i])
+                    for i in range(1, V)]
+        wfeats = jnp.stack([p[0] for p in per_view])
+        wimgs = jnp.stack([p[1] for p in per_view])
+        masks = jnp.stack([p[2] for p in per_view])
         B = depth_block.shape[0]
         volume_sum = ref_feat[None] + jnp.sum(wfeats, axis=0)
         volume_sq_sum = (ref_feat ** 2)[None] + jnp.sum(wfeats ** 2, axis=0)

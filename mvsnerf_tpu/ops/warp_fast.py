@@ -106,9 +106,14 @@ def _warp_fwd_impl(src, grid, row_block, band, compute_dtype=jnp.float32):
         grid, src.shape, row_block, band)
 
     def banded(_):
-        def one(gblk, ymin):
+        # one flat row-take: nb*band indices of contiguous (w, C) rows
+        row_idx = (ymins[:, None] +
+                   jnp.arange(band_c)[None, :]).reshape(-1)
+        vbands = jnp.take(src, row_idx, axis=0).reshape(
+            -1, band_c, w, C)
+
+        def one(gblk, ymin, vband):
             axw, ayw = _block_factors(gblk, ymin, src.shape, band_c)
-            vband = jax.lax.dynamic_slice(src, (ymin, 0, 0), (band_c, w, C))
             vband = vband.transpose(1, 0, 2).reshape(w, band_c * C)
             t = jnp.dot(axw.astype(compute_dtype),
                         vband.astype(compute_dtype),
@@ -116,7 +121,7 @@ def _warp_fwd_impl(src, grid, row_block, band, compute_dtype=jnp.float32):
             t = t.reshape(-1, band_c, C)
             return jnp.sum(ayw[..., None] * t, axis=1)   # (m, C)
 
-        return jax.vmap(one)(blocks, ymins)
+        return jax.vmap(one)(blocks, ymins, vbands)
 
     def fallback(_):
         return grid_sample_2d(src, blocks, "zeros").reshape(

@@ -82,3 +82,11 @@ for rb, band, dt in [(32, 16, jnp.float32), (32, 16, jnp.bfloat16),
                                      warp_row_block=rb, warp_band=band,
                                      warp_dtype=dt)[0]),
            imgs, feats, projs)
+
+for pb in [32, 64, 128]:
+    timeit(f"cost volume fast plane_block={pb}",
+           jax.jit(lambda im, f, pm, pb=pb:
+                   build_cost_volume(im, f, pm, depths, pad=PAD,
+                                     plane_block=pb, warp_row_block=32,
+                                     warp_band=16)[0]),
+           imgs, feats, projs)
