@@ -86,7 +86,8 @@ def _plane_block_size(d: int, target: int = 16) -> int:
 def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
                       plane_block: int | None = None,
                       fast_warp: bool = True, warp_row_block: int = 16,
-                      warp_band: int = 32, warp_dtype=None):
+                      warp_band: int = 32, warp_dtype=None,
+                      sweep_remat: bool = True):
     """Cross-view variance cost volume with warped source RGB
     (models.py:839-893, `build_volume_costvar_img`).
 
@@ -175,8 +176,9 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
     # rematerialize per block: saving every block's warped volumes as
     # backward residuals costs multiple GB at DTU resolution; recomputing
     # the warp in the backward is ~free next to its banded-splat transpose
-    cost_b, masks_b, colors_b = jax.lax.map(jax.checkpoint(process_block),
-                                            blocks)
+    block_fn = jax.checkpoint(process_block) if sweep_remat \
+        else process_block
+    cost_b, masks_b, colors_b = jax.lax.map(block_fn, blocks)
     # (nb, B, hp, wp, C') -> (D, hp, wp, C'); (nb, V, B, ...) -> (V, D, ...)
     cost = cost_b.reshape(D, hp, wp, cost_b.shape[-1])
     in_masks = masks_b.transpose(1, 0, 2, 3, 4).reshape(V, D, hp, wp)

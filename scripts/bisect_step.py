@@ -82,3 +82,27 @@ if out is not None:
     print(f"step time {dt * 1e3:.1f} ms ({args.batch_size / dt:.0f} rays/s); "
           f"181k reference steps would take {dt * 181000 / 3600:.1f} h "
           f"(reference: ~30 h)")
+
+# variant: no sweep remat (saves the 230 ms forward recompute if it fits HBM)
+import mvsnerf_tpu.ops.homography as homog
+_orig = homog.build_cost_volume
+def _noremat(*a, **k):
+    k["sweep_remat"] = False
+    return _orig(*a, **k)
+homog.build_cost_volume = _noremat
+import mvsnerf_tpu.models.mvsnet as mvsmod
+mvsmod.build_cost_volume = _noremat
+sys2 = GeneralizableSystem(args)
+step2, _ = sys2._make_step((H, W), args.batch_size, args.N_samples, 10000)
+out = attempt("full train step (no sweep remat)", step2, sys2.params,
+              sys2.opt_state, batch, jax.random.PRNGKey(0))
+if out is not None:
+    p, o = out[0], out[1]
+    t0 = time.perf_counter()
+    for i in range(5):
+        p, o, loss, aux = step2(p, o, batch,
+                                jax.random.fold_in(jax.random.PRNGKey(0), i))
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / 5
+    print(f"no-remat step time {dt * 1e3:.1f} ms "
+          f"({args.batch_size / dt:.0f} rays/s)")
