@@ -87,7 +87,7 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
                       plane_block: int | None = None,
                       fast_warp: bool = True, warp_row_block: int = 16,
                       warp_band: int = 32, warp_dtype=None,
-                      sweep_remat: bool = True):
+                      sweep_remat: bool = False):
     """Cross-view variance cost volume with warped source RGB
     (models.py:839-893, `build_volume_costvar_img`).
 
@@ -176,6 +176,9 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
     # rematerialize per block: saving every block's warped volumes as
     # backward residuals costs multiple GB at DTU resolution; recomputing
     # the warp in the backward is ~free next to its banded-splat transpose
+    # sweep_remat trades the ~180 ms backward recompute for ~1.5 GB of
+    # saved warp residuals; the default (off) fits DTU resolution in 16 GB —
+    # enable it for larger volumes.
     block_fn = jax.checkpoint(process_block) if sweep_remat \
         else process_block
     cost_b, masks_b, colors_b = jax.lax.map(block_fn, blocks)
