@@ -1,0 +1,67 @@
+"""Time the generalizable backward components at DTU scale."""
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mvsnerf_tpu.models import (cost_reg_apply, feature_net_apply,
+                                init_mvsnet)
+from mvsnerf_tpu.ops.homography import build_cost_volume
+
+H, W, PAD, D = 512, 640, 24, 128
+h, w = H // 4, W // 4
+HP, WP = h + 2 * PAD, w + 2 * PAD
+
+rng = np.random.default_rng(0)
+mvs = init_mvsnet(jax.random.PRNGKey(0))
+imgs = jnp.asarray(rng.uniform(-1, 1, (3, H, W, 3)).astype(np.float32))
+feats = jnp.asarray(rng.standard_normal((3, h, w, 32)).astype(np.float32))
+intr_s4 = np.array([[180.0, 0, w / 2], [0, 180.0, h / 2], [0, 0, 1]],
+                   np.float32)
+projs = []
+ref4 = np.eye(4, dtype=np.float32)
+ref4[:3] = intr_s4 @ np.eye(4)[:3]
+ref_inv = np.linalg.inv(ref4)
+for i in range(3):
+    a = 0.04 * (i - 1)
+    R = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                  [-np.sin(a), 0, np.cos(a)]], np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[:3, :3] = R
+    p = np.eye(4, dtype=np.float32)
+    p[:3] = intr_s4 @ w2c[:3]
+    projs.append((p @ ref_inv)[:3])
+projs = jnp.asarray(np.stack(projs))
+depths = jnp.linspace(2.125, 4.525, D)
+cost = jnp.asarray(rng.standard_normal((1, D, HP, WP, 41)).astype(np.float32))
+
+
+def timeit(name, fn, *args, iters=10):
+    try:
+        out = fn(*args)
+        jax.block_until_ready(out)
+    except Exception as e:
+        print(f"{name:44s} FAIL {type(e).__name__}: {str(e)[:80]}",
+              flush=True)
+        return
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    print(f"{name:44s} {(time.perf_counter() - t0) / iters * 1e3:9.2f} ms",
+          flush=True)
+
+
+timeit("featurenet fwd+bwd",
+       jax.jit(jax.grad(lambda p, im: jnp.sum(
+           feature_net_apply(p, im) ** 2))), mvs["feature"], imgs)
+timeit("costreg fwd+bwd",
+       jax.jit(jax.grad(lambda p, c: jnp.sum(cost_reg_apply(p, c) ** 2))),
+       mvs["cost_reg_2"], cost)
+timeit("costvolume fwd+bwd wrt feats",
+       jax.jit(jax.grad(lambda f, im, pm: jnp.sum(
+           build_cost_volume(im, f, pm, depths, pad=PAD)[0] ** 2))),
+       feats, imgs, projs)

@@ -129,3 +129,53 @@ def test_fusion_mlp_shapes():
     out = mlp_fusion_apply(p, x, 63, 3)
     assert out.shape == (4, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def torch_mlp_v1(p, x, in_ch_pts=63, in_ch_views=3):
+    """Reference Renderer_attention forward (models.py:421-462) in torch
+    from our random-init param pytree."""
+    def lin(name, t):
+        k = torch.from_numpy(np.asarray(p[name]["kernel"]))
+        out = t @ k
+        if "bias" in p[name]:
+            out = out + torch.from_numpy(np.asarray(p[name]["bias"]))
+        return out
+
+    n, dim = x.shape
+    in_ch_feat = dim - in_ch_pts - in_ch_views
+    pts = x[:, :in_ch_pts]
+    feats = x[:, in_ch_pts:in_ch_pts + in_ch_feat]
+    views = x[:, in_ch_pts + in_ch_feat:]
+
+    colors_in = feats[:, 8:].reshape(n, -1, 4)
+    tok = torch.cat(
+        [colors_in, feats[:, :8].reshape(n, 1, 8).expand(-1, 3, -1)], -1)
+    attn_out = torch_mha(p["color_attention"], tok)
+    colors = torch.sigmoid(lin("weight_out", attn_out)).sum(1)
+
+    bias = lin("pts_bias", torch.cat([feats[:, :8], colors], -1))
+    h = pts
+    for i in range(6):
+        h = F.relu(lin_layer(p["pts_linears"][i], h) + bias)
+    alpha = F.relu(lin("alpha_linear", h))
+    feat = lin("feature_linear", h)
+    h = F.relu(lin_layer(p["views_linears"][0],
+                         torch.cat([feat, views], -1)))
+    rgb = torch.sigmoid(lin("rgb_linear", h))
+    return torch.cat([rgb, alpha, colors, colors], -1)
+
+
+def lin_layer(lp, t):
+    out = t @ torch.from_numpy(np.asarray(lp["kernel"]))
+    if "bias" in lp:
+        out = out + torch.from_numpy(np.asarray(lp["bias"]))
+    return out
+
+
+def test_v1_mlp_matches_torch():
+    from mvsnerf_tpu.models import init_mlp, mlp_apply
+    p = init_mlp(jax.random.PRNGKey(7), "v1", D=6, W=128)
+    x = RNG.standard_normal((12, 86)).astype(np.float32)
+    ours = mlp_apply(p, jnp.asarray(x), "v1", 63, 3)
+    ref = torch_mlp_v1(p, torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
