@@ -82,9 +82,10 @@ def _block_factors(gblk, ymin, src_shape, band_c):
     return axw, ayw
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def bilinear_warp_banded(src, grid, row_block: int = 16, band: int = 24,
-                         compute_dtype=jnp.float32):
+                         compute_dtype=jnp.float32,
+                         grid_grad: bool = False):
     """Bilinear zeros-padded warp, align_corners=True; equals
     grid_sample_2d(src, grid, 'zeros') for any grid.
 
@@ -96,6 +97,10 @@ def bilinear_warp_banded(src, grid, row_block: int = 16, band: int = 24,
         band: source-row band height (static); if any block's span exceeds
               it, the whole call uses the exact gather fallback.
         compute_dtype: matmul multiply dtype (f32 or bf16; accumulate f32).
+        grid_grad: compute the exact grid cotangent in the backward (an
+            extra gather pass). The sweep grid is camera geometry — no
+            training path differentiates it — so the default returns zeros;
+            enable for camera-optimization research.
     """
     return _warp_fwd_impl(src, grid, row_block, band, compute_dtype)
 
@@ -132,20 +137,24 @@ def _warp_fwd_impl(src, grid, row_block, band, compute_dtype=jnp.float32):
     return out.reshape(*lead, C)
 
 
-def _warp_fwd(src, grid, row_block, band, compute_dtype):
+def _warp_fwd(src, grid, row_block, band, compute_dtype, grid_grad):
     return (_warp_fwd_impl(src, grid, row_block, band, compute_dtype),
             (src, grid))
 
 
-def _warp_bwd(row_block, band, compute_dtype, res, g):
+def _warp_bwd(row_block, band, compute_dtype, grid_grad, res, g):
     src, grid = res
     h, w, C = src.shape
     blocks, ymins, fits_all, rows, band_c, rb, w_out, lead = _prep(
         grid, src.shape, row_block, band)
 
-    # grid cotangent: gathers only — autodiff, DCE'd when grid is constant.
-    _, vjp_grid = jax.vjp(lambda n: grid_sample_2d(src, n, "zeros"), grid)
-    g_grid = vjp_grid(g)[0]
+    if grid_grad:
+        # exact grid cotangent: gathers only, via autodiff
+        _, vjp_grid = jax.vjp(lambda n: grid_sample_2d(src, n, "zeros"),
+                              grid)
+        g_grid = vjp_grid(g)[0]
+    else:
+        g_grid = jnp.zeros_like(grid)
 
     g_rows = g.reshape(rows, w_out, C)
     pad = (-rows) % rb

@@ -89,7 +89,7 @@ def test_grid_gradient_matches():
     grid = make_affine_grid(h, w, 8, 12, d=2)
     cot = jnp.asarray(RNG.standard_normal((2, 8, 12, C)).astype(np.float32))
     g_fast = jax.grad(lambda n: jnp.sum(
-        bilinear_warp_banded(src, n, 8, 16) * cot))(grid)
+        bilinear_warp_banded(src, n, 8, 16, grid_grad=True) * cot))(grid)
     g_ref = jax.grad(lambda n: jnp.sum(
         grid_sample_2d(src, n, "zeros") * cot))(grid)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
