@@ -17,7 +17,6 @@ fused Pallas path for the hot per-ray trilinear+MLP pipeline lives in
 
 from __future__ import annotations
 
-import functools
 
 import jax.numpy as jnp
 

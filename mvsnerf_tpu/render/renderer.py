@@ -11,12 +11,11 @@ by the ray axis (mvsnerf_tpu.parallel).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.compositing import depth2dist, raw2outputs
+from ..ops.compositing import raw2outputs
 from ..ops.encoding import positional_encoding
 from ..ops.geometry import get_ndc_coordinate
 from ..ops.interp import grid_sample_2d, index_point_feature

@@ -22,7 +22,6 @@ from ..io.checkpoint import load_checkpoint, latest_checkpoint, save_checkpoint
 from ..io.torch_ckpt import load_reference_checkpoint
 from ..models import init_mlp, init_mvsnet, mvsnet_apply
 from ..ops.geometry import get_ndc_coordinate
-from ..ops.interp import grid_sample_3d
 from ..ops.sampling import ray_marcher, ray_marcher_fine
 from ..render.renderer import (build_color_volume, render_density,
                                render_image_chunked, render_rays)
