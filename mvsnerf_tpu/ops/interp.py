@@ -160,6 +160,63 @@ def grid_sample_3d(vol, grid, padding_mode: str = "zeros"):
     return out
 
 
+def pack_corners_2d(img, padding_mode: str = "border"):
+    """Pack each pixel's 2x2 bilinear corner neighborhood into channels:
+    out[y, x] = [img[y,x], img[y,x+1], img[y+1,x], img[y+1,x+1]] (clamped
+    at the high edge). Gather cost on TPU scales with the index count, so
+    sampling a packed image needs ONE gather per sample instead of four
+    (grid_sample_2d_packed)."""
+    H, W, C = img.shape
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    return jnp.concatenate([img, right, down, down_right], axis=-1)
+
+
+def _axis_patch_weights(coord, size, padding_mode):
+    """Per-axis interpolation weights remapped onto a 2-wide patch whose
+    start is floor(coord) clipped into [0, size-2]: corner weights land on
+    their position within the clipped patch; OOB corners get zero weight
+    under 'zeros' ('border' clamps the coordinate first)."""
+    if padding_mode == "border":
+        coord = jnp.clip(coord, 0.0, size - 1.0)
+    c0 = jnp.floor(coord)
+    frac = coord - c0
+    c0i = c0.astype(jnp.int32)
+    start = jnp.clip(c0i, 0, max(size - 2, 0))
+    w0 = 1.0 - frac
+    w1 = frac
+    if padding_mode == "zeros":
+        w0 = jnp.where((c0i >= 0) & (c0i <= size - 1), w0, 0.0)
+        w1 = jnp.where((c0i + 1 >= 0) & (c0i + 1 <= size - 1), w1, 0.0)
+    elif padding_mode != "border":
+        raise ValueError(f"unsupported padding_mode: {padding_mode}")
+    pos0 = c0i - start            # patch position of corner 0 (-1, 0, or 1)
+    wp0 = jnp.where(pos0 == 0, w0, 0.0) + jnp.where(pos0 == -1, w1, 0.0)
+    wp1 = jnp.where(pos0 == 1, w0, 0.0) + jnp.where(pos0 == 0, w1, 0.0)
+    return start, wp0, wp1
+
+
+def grid_sample_2d_packed(img_packed, grid, padding_mode: str = "border"):
+    """grid_sample_2d on a corner-packed image (pack_corners_2d): one
+    flattened gather of 4C channels + the weight combine. Exactly equals
+    grid_sample_2d(img, grid, padding_mode)."""
+    H, W, C4 = img_packed.shape
+    C = C4 // 4
+    x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+    sx, wx0, wx1 = _axis_patch_weights(x, W, padding_mode)
+    sy, wy0, wy1 = _axis_patch_weights(y, H, padding_mode)
+
+    patch = _gather_2d(img_packed, sy, sx)             # (..., 4C)
+    v00 = patch[..., :C]
+    v01 = patch[..., C:2 * C]
+    v10 = patch[..., 2 * C:3 * C]
+    v11 = patch[..., 3 * C:]
+    return (v00 * (wy0 * wx0)[..., None] + v01 * (wy0 * wx1)[..., None]
+            + v10 * (wy1 * wx0)[..., None] + v11 * (wy1 * wx1)[..., None])
+
+
 def index_point_feature(volume, xyz_ndc):
     """Trilinear lookup of the encoding volume at NDC coords in [0, 1].
 

@@ -43,7 +43,10 @@ def build_color_volume(pts_world, w2cs, intrinsics, imgs, with_mask=True,
         ndc = get_ndc_coordinate(w2c, intr, pts_world, inv_scale,
                                  near=1.0, far=2.0)  # z unused below
         grid = ndc[..., :2] * 2.0 - 1.0
-        parts = [grid_sample_2d(img, grid, padding_mode="border")]
+        # corner-packed sampling: one gather per sample instead of four
+        from ..ops.interp import grid_sample_2d_packed, pack_corners_2d
+        parts = [grid_sample_2d_packed(pack_corners_2d(img), grid,
+                                       padding_mode="border")]
         if feat is not None:
             parts.append(grid_sample_2d(feat, grid, padding_mode="zeros"))
         if with_mask:

@@ -89,3 +89,15 @@ def test_grid_sample_2d_exact_at_pixels():
     out = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(grid)))
     np.testing.assert_allclose(out[0, 0], img[0, 0], atol=1e-6)
     np.testing.assert_allclose(out[0, 1], img[H - 1, W - 1], atol=1e-6)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_packed_sampling_matches_unpacked(padding):
+    from mvsnerf_tpu.ops.interp import grid_sample_2d_packed, pack_corners_2d
+    H, W, C = 9, 11, 3
+    img = RNG.standard_normal((H, W, C)).astype(np.float32)
+    grid = (RNG.standard_normal((6, 7, 2)) * 1.2).astype(np.float32)
+    ref = grid_sample_2d(jnp.asarray(img), jnp.asarray(grid), padding)
+    packed = pack_corners_2d(jnp.asarray(img))
+    out = grid_sample_2d_packed(packed, jnp.asarray(grid), padding)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
