@@ -217,6 +217,51 @@ def grid_sample_2d_packed(img_packed, grid, padding_mode: str = "border"):
             + v10 * (wy1 * wx0)[..., None] + v11 * (wy1 * wx1)[..., None])
 
 
+def pack_corners_3d(vol):
+    """Pack each voxel's 2x2x2 trilinear corner neighborhood into channels
+    (edge-clamped), ordered [(dz,dy,dx) for dz in 01 for dy in 01
+    for dx in 01] — one gather per sample instead of eight."""
+    def shift(v, axis):
+        idx = [slice(None)] * 4
+        idx[axis] = slice(1, None)
+        last = [slice(None)] * 4
+        last[axis] = slice(-1, None)
+        return jnp.concatenate([v[tuple(idx)], v[tuple(last)]], axis=axis)
+
+    parts = []
+    for dz in (0, 1):
+        vz = shift(vol, 0) if dz else vol
+        for dy in (0, 1):
+            vy = shift(vz, 1) if dy else vz
+            for dx in (0, 1):
+                parts.append(shift(vy, 2) if dx else vy)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def grid_sample_3d_packed(vol_packed, grid, padding_mode: str = "zeros"):
+    """grid_sample_3d on a corner-packed volume (pack_corners_3d)."""
+    D, H, W, C8 = vol_packed.shape
+    C = C8 // 8
+    x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+    z = (grid[..., 2] + 1.0) * 0.5 * (D - 1)
+    sx, wx0, wx1 = _axis_patch_weights(x, W, padding_mode)
+    sy, wy0, wy1 = _axis_patch_weights(y, H, padding_mode)
+    sz, wz0, wz1 = _axis_patch_weights(z, D, padding_mode)
+
+    patch = _gather_3d(vol_packed, sz, sy, sx)          # (..., 8C)
+    out = None
+    k = 0
+    for wz in (wz0, wz1):
+        for wy in (wy0, wy1):
+            for wx in (wx0, wx1):
+                w = (wz * wy * wx)[..., None]
+                term = patch[..., k * C:(k + 1) * C] * w
+                out = term if out is None else out + term
+                k += 1
+    return out
+
+
 def index_point_feature(volume, xyz_ndc):
     """Trilinear lookup of the encoding volume at NDC coords in [0, 1].
 

@@ -101,3 +101,15 @@ def test_packed_sampling_matches_unpacked(padding):
     packed = pack_corners_2d(jnp.asarray(img))
     out = grid_sample_2d_packed(packed, jnp.asarray(grid), padding)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_packed_3d_matches_unpacked(padding):
+    from mvsnerf_tpu.ops.interp import grid_sample_3d_packed, pack_corners_3d
+    D, H, W, C = 5, 7, 9, 4
+    vol = RNG.standard_normal((D, H, W, C)).astype(np.float32)
+    grid = (RNG.standard_normal((6, 8, 3)) * 1.2).astype(np.float32)
+    ref = grid_sample_3d(jnp.asarray(vol), jnp.asarray(grid), padding)
+    out = grid_sample_3d_packed(pack_corners_3d(jnp.asarray(vol)),
+                                jnp.asarray(grid), padding)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
