@@ -53,12 +53,12 @@ def sample_volume_train(volume, ndc, band_k: int = 8):
     Returns:
         (N_rays, N_samples, C) features.
     """
-    # forward: corner-packed gather — packing is 8 shifted adds (dense,
-    # ~2 ms for the DTU volume) and the gather then needs one index per
-    # sample instead of eight; measured faster than both the plain gather
-    # and the banded matmul forward.
-    from .interp import grid_sample_3d_packed, pack_corners_3d
-    return grid_sample_3d_packed(pack_corners_3d(volume), ndc * 2.0 - 1.0)
+    # forward: banded dense factorization. (A corner-packed gather was
+    # tried and measured SLOWER here — repacking the trainable volume every
+    # step costs more than the gather saves; packing only wins for
+    # per-scene-constant sources like the color images.)
+    return sample_volume_banded(volume, ndc, band_k,
+                                compute_dtype=jnp.float32)
 
 
 def _fwd(volume, ndc, band_k):
