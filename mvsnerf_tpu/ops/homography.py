@@ -87,7 +87,8 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
                       plane_block: int | None = None,
                       fast_warp: bool = True, warp_row_block: int = 16,
                       warp_band: int = 32, warp_dtype=None,
-                      sweep_remat: bool = False):
+                      sweep_remat: bool = False,
+                      warp_fwd_mode: str = "banded"):
     """Cross-view variance cost volume with warped source RGB
     (models.py:839-893, `build_volume_costvar_img`).
 
@@ -140,7 +141,7 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
                 dtype = warp_dtype if warp_dtype is not None else jnp.float32
                 both = bilinear_warp_banded(
                     jnp.concatenate([feat, img], axis=-1), grid,
-                    warp_row_block, warp_band, dtype)
+                    warp_row_block, warp_band, dtype, False, warp_fwd_mode)
                 wfeat, wimg = both[..., :C], both[..., C:]
             else:
                 wfeat = grid_sample_2d(feat, grid, padding_mode="zeros")

@@ -82,10 +82,11 @@ def _block_factors(gblk, ymin, src_shape, band_c):
     return axw, ayw
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def bilinear_warp_banded(src, grid, row_block: int = 16, band: int = 24,
                          compute_dtype=jnp.float32,
-                         grid_grad: bool = False):
+                         grid_grad: bool = False,
+                         fwd_mode: str = "banded"):
     """Bilinear zeros-padded warp, align_corners=True; equals
     grid_sample_2d(src, grid, 'zeros') for any grid.
 
@@ -101,7 +102,13 @@ def bilinear_warp_banded(src, grid, row_block: int = 16, band: int = 24,
             extra gather pass). The sweep grid is camera geometry — no
             training path differentiates it — so the default returns zeros;
             enable for camera-optimization research.
+        fwd_mode: 'banded' (dense matmuls) or 'packed' (corner-packed
+            gather — one index per sample; pack the small source map once).
+            The backward is the banded splat either way.
     """
+    if fwd_mode == "packed":
+        from .interp import grid_sample_2d_packed, pack_corners_2d
+        return grid_sample_2d_packed(pack_corners_2d(src), grid, "zeros")
     return _warp_fwd_impl(src, grid, row_block, band, compute_dtype)
 
 
@@ -137,12 +144,15 @@ def _warp_fwd_impl(src, grid, row_block, band, compute_dtype=jnp.float32):
     return out.reshape(*lead, C)
 
 
-def _warp_fwd(src, grid, row_block, band, compute_dtype, grid_grad):
-    return (_warp_fwd_impl(src, grid, row_block, band, compute_dtype),
+def _warp_fwd(src, grid, row_block, band, compute_dtype, grid_grad,
+              fwd_mode):
+    return (bilinear_warp_banded(src, grid, row_block, band, compute_dtype,
+                                 grid_grad, fwd_mode),
             (src, grid))
 
 
-def _warp_bwd(row_block, band, compute_dtype, grid_grad, res, g):
+def _warp_bwd(row_block, band, compute_dtype, grid_grad, fwd_mode,
+              res, g):
     src, grid = res
     h, w, C = src.shape
     blocks, ymins, fits_all, rows, band_c, rb, w_out, lead = _prep(

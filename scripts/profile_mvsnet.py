@@ -90,3 +90,8 @@ for pb in [32, 64, 128]:
                                      plane_block=pb, warp_row_block=32,
                                      warp_band=16)[0]),
            imgs, feats, projs)
+
+timeit("cost volume fast (packed fwd)",
+       jax.jit(lambda im, f, pm: build_cost_volume(
+           im, f, pm, depths, pad=PAD, warp_fwd_mode="packed")[0]),
+       imgs, feats, projs)

@@ -94,3 +94,22 @@ def test_grid_gradient_matches():
         grid_sample_2d(src, n, "zeros") * cot))(grid)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_packed_fwd_mode_matches():
+    h, w, C = 32, 40, 8
+    src = jnp.asarray(RNG.standard_normal((h, w, C)).astype(np.float32))
+    grid = make_affine_grid(h, w, 24, 36)
+    ref = grid_sample_2d(src, grid, "zeros")
+    out = bilinear_warp_banded(src, grid, 8, 16, jnp.float32, False,
+                               "packed")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # backward still the banded splat
+    cot = jnp.asarray(RNG.standard_normal(ref.shape).astype(np.float32))
+    g_fast = jax.grad(lambda s: jnp.sum(
+        bilinear_warp_banded(s, grid, 8, 16, jnp.float32, False,
+                             "packed") * cot))(src)
+    g_ref = jax.grad(lambda s: jnp.sum(
+        grid_sample_2d(s, grid, "zeros") * cot))(src)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
