@@ -88,7 +88,7 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
                       fast_warp: bool = True, warp_row_block: int = 16,
                       warp_band: int = 32, warp_dtype=None,
                       sweep_remat: bool = False,
-                      warp_fwd_mode: str = "banded"):
+                      warp_fwd_mode: str = "packed"):
     """Cross-view variance cost volume with warped source RGB
     (models.py:839-893, `build_volume_costvar_img`).
 
