@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.precision import MLP as _MLP_PRECISION
 from .layers import init_linear, init_mha, linear, multi_head_attention
 
 
@@ -223,8 +224,16 @@ _ALPHA = {"v0": mlp_v0_alpha, "v2": mlp_v2_alpha, "fusion": mlp_fusion_alpha}
 
 def mlp_apply(params, x, net_type: str, in_ch_pts: int, in_ch_views: int,
               skips=(4,)):
-    return _APPLY[net_type](params, x, in_ch_pts, in_ch_views, skips=skips)
+    # Full-precision matmuls: TPU's default f32 matmul runs the MXU at
+    # bf16-level precision, and the multiplicative pts_bias cascade (v0)
+    # amplifies that to ~0.4 absolute rgb error vs the f32 reference
+    # (measured on the mvsnerf-v0 weights). The MLP is ~2 ms per 131k
+    # samples either way — accuracy is free here.
+    with jax.default_matmul_precision(_MLP_PRECISION.name.lower()):
+        return _APPLY[net_type](params, x, in_ch_pts, in_ch_views,
+                                skips=skips)
 
 
 def mlp_apply_alpha(params, x, net_type: str, in_ch_pts: int, skips=(4,)):
-    return _ALPHA[net_type](params, x, in_ch_pts, skips=skips)
+    with jax.default_matmul_precision(_MLP_PRECISION.name.lower()):
+        return _ALPHA[net_type](params, x, in_ch_pts, skips=skips)

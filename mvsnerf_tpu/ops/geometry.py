@@ -15,6 +15,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .precision import matmul_f32
+
 
 def pixel_grid(h: int, w: int):
     """(h, w, 2) grid of (x, y) pixel coordinates, not centered."""
@@ -43,7 +45,7 @@ def get_rays(directions, c2w):
     Returns:
         rays_o, rays_d: each (N, 3). rays_d is NOT normalized.
     """
-    rays_d = directions @ c2w[:3, :3].T
+    rays_d = matmul_f32(directions, c2w[:3, :3].T)
     rays_d = rays_d.reshape(-1, 3)
     rays_o = jnp.broadcast_to(c2w[:3, 3], rays_d.shape)
     return rays_o, rays_d
@@ -80,7 +82,7 @@ def rays_from_pixels(xs, ys, intrinsic, c2w):
         ],
         axis=-1,
     )
-    rays_d = dirs @ c2w[:3, :3].T
+    rays_d = matmul_f32(dirs, c2w[:3, :3].T)
     rays_o = c2w[:3, 3]
     return rays_o, rays_d
 
@@ -129,8 +131,8 @@ def get_ndc_coordinate(w2c_ref, intrinsic_ref, point_samples, inv_scale,
     shape = point_samples.shape
     pts = point_samples.reshape(-1, 3)
     if w2c_ref is not None:
-        pts = pts @ w2c_ref[:3, :3].T + w2c_ref[:3, 3]
-    pix = pts @ intrinsic_ref.T
+        pts = matmul_f32(pts, w2c_ref[:3, :3].T) + w2c_ref[:3, 3]
+    pix = matmul_f32(pts, intrinsic_ref.T)
     xy = pix[:, :2] / pix[:, 2:3] / inv_scale.reshape(1, 2)
     if lindisp:
         z = (1.0 / pix[:, 2] - 1.0 / near) / (1.0 / far - 1.0 / near)

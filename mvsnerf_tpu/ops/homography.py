@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .interp import grid_sample_2d
+from .precision import matmul_f32
 
 
 def plane_sweep_grid(proj_mat, depth_values, h: int, w: int, pad: int = 0):
@@ -39,7 +40,7 @@ def plane_sweep_grid(proj_mat, depth_values, h: int, w: int, pad: int = 0):
     gx, gy = jnp.meshgrid(xs, ys, indexing="xy")  # (hp, wp)
     ref = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=0).reshape(3, -1)
 
-    rot = proj_mat[:, :3] @ ref  # (3, hp*wp)
+    rot = matmul_f32(proj_mat[:, :3], ref)  # (3, hp*wp)
     trans = proj_mat[:, 3:]      # (3, 1)
     # (D, 3, hp*wp): R@p + T/d per plane.
     src = rot[None] + trans[None] / depth_values[:, None, None]

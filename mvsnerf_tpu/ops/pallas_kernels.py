@@ -15,14 +15,14 @@ b @ W_bot) so no in-kernel concatenation of misaligned tiles is needed.
 The kernel covers the inference/eval path (renderer.ipynb's chunk loop,
 validation renders, video). Training keeps the XLA path (autodiff).
 
-Measured context (v5e, batch 1024 rays x 128 samples): the XLA PE+MLP+
-composite path runs at ~2 ms — the render hot path is dominated by the
-feature gathers (trilinear ~21 ms, per-view color ~12 ms; see
-ops/volume_grad.py for the banded-matmul replacement), so this kernel's
-HBM-traffic saving is secondary on current hardware. It is verified in
-interpret mode; Mosaic compilation through this environment's remote-compile
-tunnel hangs, so on-device validation is pending (kernels compile fine on
-directly-attached TPUs).
+Measured on v5e (batch 1024 rays x 128 samples), validated on-device
+(scripts/validate_pallas_tpu.py, max |err| 7e-5 vs the f32 reference):
+fused kernel 3.66 ms vs XLA path 3.59 ms at the production (full-precision
+MLP) setting — at 'highest' both are MXU-pass-bound, so the fusion's HBM
+saving no longer dominates and the XLA path remains the production default.
+The kernel is kept as the single-kernel render option and for future
+sample-masked variants. Keep rays_per_tile <= 64: the full-precision
+kernel at 128-ray tiles exceeds the 128 MB VMEM budget.
 """
 
 from __future__ import annotations
@@ -36,56 +36,82 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pe63(x, n_freqs: int = 10):
-    """[x, sin(f-major), cos(f-major)] positional encoding (models.py:47-51).
-    Frequencies are Python floats — Mosaic has no 1-D iota, and these are
-    compile-time constants anyway."""
-    freqs = [float(2.0 ** k) for k in range(n_freqs)]
-    parts = [x]
-    scaled = [x * f for f in freqs]
-    parts += [jnp.sin(s) for s in scaled]
-    parts += [jnp.cos(s) for s in scaled]
-    return jnp.concatenate(parts, axis=-1)  # (rows, 3 + 30 + 30)
+N_FREQS = 10
 
 
-def _mlp_rows(xyz, feats, dirs_rows, w):
-    """The v0 MLP on a (rows, *) tile. w is the flat weight dict of jnp
-    arrays already loaded from VMEM refs."""
-    pe = _pe63(xyz)
+def _freq_matrix(n_freqs: int = N_FREQS):
+    """(3, 3*n_freqs) selector so that `x @ F` equals the freq-major scaled
+    coords [x*1, y*1, z*1, x*2, ...] of the reference PE (models.py:47-51).
+    Turning the PE into matmuls (instead of a 21-way concat of (rows, 3)
+    slices, each lane-padded to 128) is what keeps the kernel inside VMEM."""
+    f = [[0.0] * (3 * n_freqs) for _ in range(3)]
+    for k in range(n_freqs):
+        for j in range(3):
+            f[j][3 * k + j] = float(2.0 ** k)
+    return jnp.asarray(f, jnp.float32)
+
+
+def _split_pe_kernel(kernel, n_freqs: int = N_FREQS):
+    """Split a (63, C) weight acting on [x, sin, cos] into its three bands
+    so the PE concat becomes three matmuls."""
+    s = 3 * n_freqs
+    return kernel[:3], kernel[3:3 + s], kernel[3 + s:]
+
+
+def _mlp_rows(xyz, feats, dirs_small, S, w):
+    """The v0 NeRF MLP on a (rows, *) tile with the positional-encoding
+    concat decomposed into split matmuls (cat(a,b,c) @ W == a @ Wa + b @ Wb
+    + c @ Wc); w is the flat weight dict already loaded from VMEM refs.
+    dirs_small is the per-RAY (R, 3) dirs; its head contribution is computed
+    at (R, 64) then broadcast over samples."""
+    sc = xyz @ w["pe_f"]                 # (rows, 30) freq-major scaled
+    sin_sc = jnp.sin(sc)
+    cos_sc = jnp.cos(sc)
     bias = feats @ w["bias_k"] + w["bias_b"]
 
-    h = pe @ w["k0"] + w["b0"]
+    h = (xyz @ w["k0_x"] + sin_sc @ w["k0_s"] + cos_sc @ w["k0_c"]
+         + w["b0"])
     h = jax.nn.relu(h * bias)
     for i in (1, 2, 3, 4):
         h = h @ w[f"k{i}"] + w[f"b{i}"]
         h = jax.nn.relu(h * bias)
-    # skip at layer index 4: cat([pe, h]) @ k5 == pe @ k5_top + h @ k5_bot
-    h = pe @ w["k5_top"] + h @ w["k5_bot"] + w["b5"]
+    # skip at layer index 4: cat([pe, h]) @ k5 == pe-bands @ k5_top + h @ k5_bot
+    h = (xyz @ w["k5_x"] + sin_sc @ w["k5_s"] + cos_sc @ w["k5_c"]
+         + h @ w["k5_bot"] + w["b5"])
     h = jax.nn.relu(h * bias)
 
     sigma = jax.nn.relu(h @ w["ak"] + w["ab"])            # (rows, 1)
     feature = h @ w["fk"] + w["fb"]
-    hv = jax.nn.relu(feature @ w["vk_top"] + dirs_rows @ w["vk_bot"]
-                     + w["vb"])
+    dv = dirs_small @ w["vk_bot"]                         # (R, 64)
+    R = dirs_small.shape[0]
+    hv = (feature @ w["vk_top"]).reshape(R, S, -1) + dv[:, None, :] + w["vb"]
+    hv = jax.nn.relu(hv).reshape(R * S, -1)
     rgb = jax.nn.sigmoid(hv @ w["rk"] + w["rb"])          # (rows, 3)
     return rgb, sigma
 
 
-_WEIGHT_ORDER = ["k0", "b0", "k1", "b1", "k2", "b2", "k3", "b3", "k4", "b4",
-                 "k5_top", "k5_bot", "b5", "bias_k", "bias_b", "ak", "ab",
-                 "fk", "fb", "vk_top", "vk_bot", "vb", "rk", "rb"]
+_WEIGHT_ORDER = ["pe_f", "k0_x", "k0_s", "k0_c", "b0", "k1", "b1", "k2",
+                 "b2", "k3", "b3", "k4", "b4",
+                 "k5_x", "k5_s", "k5_c", "k5_bot", "b5", "bias_k", "bias_b",
+                 "ak", "ab", "fk", "fb", "vk_top", "vk_bot", "vb", "rk",
+                 "rb"]
 
 
 def pack_v0_weights(mlp_params, in_ch_pts: int = 63):
     """Flatten an imported v0 MLP pytree (io/torch_ckpt layout) into the
     kernel's weight list. Biases become (1, C) rows (TPU scalars must be
-    >= 2-D)."""
+    >= 2-D); PE-facing kernels are split into [x, sin, cos] bands."""
     p = mlp_params
     row = lambda b: b.reshape(1, -1)
     k5 = p["pts_linears"][5]["kernel"]           # (63 + 128, 128)
     vk = p["views_linears"][0]["kernel"]         # (128 + 3, 64)
+    k0_x, k0_s, k0_c = _split_pe_kernel(p["pts_linears"][0]["kernel"])
+    k5_x, k5_s, k5_c = _split_pe_kernel(k5[:in_ch_pts])
     w = {
-        "k0": p["pts_linears"][0]["kernel"],
+        "pe_f": _freq_matrix(),
+        "k0_x": k0_x,
+        "k0_s": k0_s,
+        "k0_c": k0_c,
         "b0": row(p["pts_linears"][0]["bias"]),
         "k1": p["pts_linears"][1]["kernel"],
         "b1": row(p["pts_linears"][1]["bias"]),
@@ -95,7 +121,9 @@ def pack_v0_weights(mlp_params, in_ch_pts: int = 63):
         "b3": row(p["pts_linears"][3]["bias"]),
         "k4": p["pts_linears"][4]["kernel"],
         "b4": row(p["pts_linears"][4]["bias"]),
-        "k5_top": k5[:in_ch_pts],
+        "k5_x": k5_x,
+        "k5_s": k5_s,
+        "k5_c": k5_c,
         "k5_bot": k5[in_ch_pts:],
         "b5": row(p["pts_linears"][5]["bias"]),
         "bias_k": p["pts_bias"]["kernel"],
@@ -114,7 +142,17 @@ def pack_v0_weights(mlp_params, in_ch_pts: int = 63):
 
 
 def _kernel(xyz_ref, feats_ref, dirs_ref, z_ref, *rest):
-    # rest = 24 weight refs, then 4 output refs
+    # rest = weight refs, then 4 output refs.
+    # Mosaic's default f32 matmul runs the MXU at reduced (bf16-level)
+    # precision — measured 0.15 abs error on the (rows,128)@(128,1) sigma
+    # head vs XLA's 5e-6, amplified to ~0.7 rgb through the pts_bias
+    # cascade. Follow the MLP precision policy (ops/precision.py).
+    from .precision import MLP as _MLP_PRECISION
+    with jax.default_matmul_precision(_MLP_PRECISION.name.lower()):
+        _kernel_body(xyz_ref, feats_ref, dirs_ref, z_ref, *rest)
+
+
+def _kernel_body(xyz_ref, feats_ref, dirs_ref, z_ref, *rest):
     w_refs = rest[:len(_WEIGHT_ORDER)]
     rgb_out, depth_out, acc_out, weights_out = rest[len(_WEIGHT_ORDER):]
 
@@ -125,9 +163,8 @@ def _kernel(xyz_ref, feats_ref, dirs_ref, z_ref, *rest):
     xyz = xyz_ref[:].reshape(rows, 3)
     feats = feats_ref[:].reshape(rows, feats_ref.shape[-1])
     dirs = dirs_ref[:]                          # (R, 3)
-    dirs_rows = jnp.repeat(dirs, S, axis=0)     # (rows, 3)
 
-    rgb, sigma = _mlp_rows(xyz, feats, dirs_rows, w)
+    rgb, sigma = _mlp_rows(xyz, feats, dirs, S, w)
 
     # compositing (renderer.py:18-26, 65-92): alpha = 1 - exp(-sigma)
     alpha = 1.0 - jnp.exp(-sigma.reshape(R, S))
@@ -203,6 +240,10 @@ def fused_render_v0(weights_list, xyz_ndc, feats, dirs, z_vals,
                   tile_spec((S,))] + w_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xyz_ndc, feats, dirs, z_vals, *weights_list)
 

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from .interp import grid_sample_3d
+from .precision import INTERP
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -131,7 +132,9 @@ def _bwd(band_k, res, g):
             jnp.where(karr == off[:, None] + 1, wz1, 0.0)   # (N, K+1)
         a_stack = (wz[:, :, None] * ayw[:, None, :]).reshape(N, (K + 1) * H)
 
-        gband = jnp.dot(a_stack.T, u,
+        # full-precision pass: default truncates the interpolation
+        # weights (fracs) to bf16, quantizing sample positions to ~2^-8
+        gband = jnp.dot(a_stack.T, u, precision=INTERP,
                         preferred_element_type=jnp.float32)  # ((K+1)H, WC)
         gband = gband.reshape(K + 1, H, W, C)
 
@@ -204,9 +207,10 @@ def sample_volume_banded(volume, ndc, band_k: int = 8,
 
         vband = jax.lax.dynamic_slice(volume, (zmin, 0, 0, 0),
                                       (K + 1, H, W, C))
+        prec = INTERP if compute_dtype == jnp.float32 else None
         out1 = jnp.dot(a_stack.astype(compute_dtype),
                        vband.reshape((K + 1) * H, W * C)
-                       .astype(compute_dtype),
+                       .astype(compute_dtype), precision=prec,
                        preferred_element_type=jnp.float32)
         out1 = out1.reshape(N, W, C)
         out = jnp.sum(axw[:, :, None] * out1, axis=1)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .interp import grid_sample_2d
+from .precision import INTERP
 from .volume_grad import _axis_onehot
 
 
@@ -127,8 +128,9 @@ def _warp_fwd_impl(src, grid, row_block, band, compute_dtype=jnp.float32):
         def one(gblk, ymin, vband):
             axw, ayw = _block_factors(gblk, ymin, src.shape, band_c)
             vband = vband.transpose(1, 0, 2).reshape(w, band_c * C)
+            prec = INTERP if compute_dtype == jnp.float32 else None
             t = jnp.dot(axw.astype(compute_dtype),
-                        vband.astype(compute_dtype),
+                        vband.astype(compute_dtype), precision=prec,
                         preferred_element_type=jnp.float32)
             t = t.reshape(-1, band_c, C)
             return jnp.sum(ayw[..., None] * t, axis=1)   # (m, C)
@@ -176,8 +178,9 @@ def _warp_bwd(row_block, band, compute_dtype, grid_grad, fwd_mode,
         def one(gblk, ymin, gc):
             axw, ayw = _block_factors(gblk, ymin, src.shape, band_c)
             u = (ayw[:, :, None] * gc[:, None, :]).reshape(-1, band_c * C)
+            prec = INTERP if compute_dtype == jnp.float32 else None
             gband = jnp.dot(axw.T.astype(compute_dtype),
-                            u.astype(compute_dtype),
+                            u.astype(compute_dtype), precision=prec,
                             preferred_element_type=jnp.float32)
             return gband.reshape(w, band_c, C).transpose(1, 0, 2)
 

@@ -19,6 +19,7 @@ from ..ops.compositing import raw2outputs
 from ..ops.encoding import positional_encoding
 from ..ops.geometry import get_ndc_coordinate
 from ..ops.interp import grid_sample_2d, index_point_feature
+from ..ops.precision import matmul_f32
 from ..models.nerf_mlp import mlp_apply, mlp_apply_alpha
 
 
@@ -65,7 +66,7 @@ def build_color_volume(pts_world, w2cs, intrinsics, imgs, with_mask=True,
 
 def gen_dir_feature(w2c_ref, rays_dir):
     """View dirs rotated into the reference camera frame (renderer.py:111-122)."""
-    return rays_dir @ w2c_ref[:3, :3].T
+    return matmul_f32(rays_dir, w2c_ref[:3, :3].T)
 
 
 def gen_angle_feature(c2ws, rays_pts, rays_dir):

@@ -22,6 +22,7 @@ from ..io.checkpoint import load_checkpoint, latest_checkpoint, save_checkpoint
 from ..io.torch_ckpt import load_reference_checkpoint
 from ..models import init_mlp, init_mvsnet, mvsnet_apply
 from ..ops.geometry import get_ndc_coordinate
+from ..ops.precision import matmul_f32
 from ..ops.sampling import ray_marcher, ray_marcher_fine
 from ..render.renderer import (build_color_volume, render_density,
                                render_image_chunked, render_rays)
@@ -37,7 +38,7 @@ def frustum_point_volume(h, w, d, pad, near_far, intrinsic_s4, c2w):
     near, far = near_far[0], near_far[1]
     corners = jnp.asarray([[-pad, -pad, 1.0], [w + pad, -pad, 1.0],
                            [-pad, h + pad, 1.0]], jnp.float32)
-    corners = corners @ jnp.linalg.inv(intrinsic_s4).T
+    corners = matmul_f32(corners, jnp.linalg.inv(intrinsic_s4).T)
     xs = jnp.linspace(corners[0, 0], corners[1, 0], w + 2 * pad)
     ys = jnp.linspace(corners[0, 1], corners[2, 1], h + 2 * pad)
     gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
@@ -45,7 +46,7 @@ def frustum_point_volume(h, w, d, pad, near_far, intrinsic_s4, c2w):
     # z from near (t=1) to far (t=0) as in the reference linspace(1, 0)
     t = jnp.linspace(1.0, 0.0, d).reshape(d, 1, 1, 1)
     pts = t * plane * near + (1 - t) * plane * far
-    pts = pts.reshape(-1, 3) @ c2w[:3, :3].T + c2w[:3, 3]
+    pts = matmul_f32(pts.reshape(-1, 3), c2w[:3, :3].T) + c2w[:3, 3]
     return pts.reshape(d, h + 2 * pad, w + 2 * pad, 3)
 
 
