@@ -41,6 +41,12 @@ def config_parser(cmd=None):
     parser.add_argument("--imgScale_test", type=float, default=1.0)
     parser.add_argument("--img_downscale", type=float, default=1.0)
     parser.add_argument("--pad", type=int, default=24)
+    parser.add_argument("--warp_mode", type=str, default="auto",
+                        choices=["auto", "pallas", "packed", "banded",
+                                 "gather"],
+                        help="plane-sweep warp implementation (TPU-only "
+                             "extension; 'auto' = fused Pallas kernel on "
+                             "TPU, packed gather elsewhere)")
 
     # loader options
     parser.add_argument("--batch_size", type=int, default=1024)

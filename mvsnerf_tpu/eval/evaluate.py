@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import mvsnet_apply
+from ..models.mvsnet import resolve_warp_mode
 from ..ops.geometry import get_ndc_coordinate
 from ..ops.sampling import ray_marcher
 from ..render.renderer import render_image_chunked, render_rays
@@ -50,7 +51,9 @@ class Evaluator:
         volume = jax.jit(
             lambda p, im: mvsnet_apply(
                 p, im, jnp.asarray(proj_mats),
-                jnp.asarray(near_far, jnp.float32), pad=self.args.pad)[0]
+                jnp.asarray(near_far, jnp.float32), pad=self.args.pad,
+                warp_mode=resolve_warp_mode(
+                    getattr(self.args, "warp_mode", "auto")))[0]
         )(self.mvsnet, imgs_norm)
         pose_source = {k: jnp.asarray(v) for k, v in pose_source.items()}
         return volume, unpreprocess_images(imgs_norm), \

@@ -143,6 +143,15 @@ def init_cost_reg(key, in_channels: int = 41):
 N_DEPTH_PLANES = 128  # hardcoded in the reference (models.py:914)
 
 
+def resolve_warp_mode(mode: str = "auto") -> str:
+    """'auto' -> the fused Pallas sweep on TPU, packed gather elsewhere
+    (Pallas runs in interpret mode off-TPU — correct but slow)."""
+    if mode == "auto":
+        import jax
+        return "pallas" if jax.default_backend() == "tpu" else "packed"
+    return mode
+
+
 def depth_plane_values(near, far, n_planes: int = N_DEPTH_PLANES,
                        lindisp: bool = False):
     """Sweep-plane depths (models.py:915-920)."""
@@ -154,7 +163,8 @@ def depth_plane_values(near, far, n_planes: int = N_DEPTH_PLANES,
 
 def mvsnet_apply(params, imgs, proj_mats, near_far, pad: int = 0,
                  lindisp: bool = False, n_planes: int = N_DEPTH_PLANES,
-                 use_running_stats: bool = False):
+                 use_running_stats: bool = False,
+                 warp_mode: str = "packed"):
     """Build the neural encoding volume (models.py:895-932).
 
     Args:
@@ -162,6 +172,9 @@ def mvsnet_apply(params, imgs, proj_mats, near_far, pad: int = 0,
         proj_mats: (V, 3, 4) stride-4-scale projections relative to view 0.
         near_far: (2,) reference-view depth range.
         pad: cost-volume padding in feature pixels.
+        warp_mode: plane-sweep warp implementation — 'packed' (corner-packed
+            gather fwd + banded splat bwd), 'banded' (dense banded matmuls),
+            or 'pallas' (fused TPU kernel, ops/pallas_sweep.py).
 
     Returns:
         volume: (D, hp, wp, 8) encoding volume (channel-last),
@@ -174,7 +187,8 @@ def mvsnet_apply(params, imgs, proj_mats, near_far, pad: int = 0,
     depth_values = depth_plane_values(near_far[0], near_far[1], n_planes,
                                       lindisp)
     cost, in_masks, colors = build_cost_volume(imgs, feats, proj_mats,
-                                               depth_values, pad=pad)
+                                               depth_values, pad=pad,
+                                               warp_fwd_mode=warp_mode)
     volume = cost_reg_apply(params["cost_reg_2"], cost[None],
                             use_running_stats=use_running_stats)[0]
     return volume, colors, depth_values

@@ -132,6 +132,15 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
     ref_feat = jnp.pad(feats[0], ((pad, pad), (pad, pad), (0, 0)))
     ref_img = jnp.pad(imgs_l[0], ((pad, pad), (pad, pad), (0, 0)))
 
+    if warp_fwd_mode == "pallas":
+        from .pallas_sweep import _pick_row_block
+        if _pick_row_block(hp, wp) is not None:
+            return _build_cost_volume_pallas(
+                imgs_l, feats, proj_mats, depth_values, pad, ref_feat,
+                ref_img, plane_block, warp_band)
+        # no legal Mosaic row block at this shape -> packed gather path
+        warp_fwd_mode = "packed"
+
     def process_block(depth_block):
         """depth_block: (plane_block,) -> per-block cost/masks/colors."""
         def warp_one(feat, img, pm):
@@ -189,6 +198,76 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
     in_masks = masks_b.transpose(1, 0, 2, 3, 4).reshape(V, D, hp, wp)
     colors = colors_b.transpose(1, 0, 2, 3, 4, 5).reshape(V, D, hp, wp, 4)
     return cost, in_masks, colors
+
+
+def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
+                              ref_feat, ref_img, plane_block, warp_band):
+    """Whole-volume sweep via the fused Pallas warp (ops/pallas_sweep.py):
+    each source view's [feat | rgb] is warped in ONE kernel launch (the
+    banded intermediate never touches HBM), with a plane-blocked exact
+    gather as the lax.cond fallback when the y-band contract fails. The
+    variance assembly stays in XLA — it is elementwise and fuses."""
+    from .pallas_sweep import (_pick_row_block, bilinear_warp_pallas,
+                               sweep_fits_band)
+
+    V, h, w, C = feats.shape
+    D = depth_values.shape[0]
+    hp, wp = h + 2 * pad, w + 2 * pad
+    rb = _pick_row_block(hp, wp)
+    band = warp_band
+
+    # checkpoint: the fallback's gather residuals (corner indices/weights
+    # with trailing-1 dims, tile-padded 128x) are allocated even when the
+    # cond never takes this branch — measured 4x 2.2 GB at DTU resolution.
+    @jax.checkpoint
+    def gather_fallback(cat, grid):
+        blocks = grid.reshape(-1, plane_block, hp, wp, 2)
+        out = jax.lax.map(
+            lambda g: grid_sample_2d(cat, g, padding_mode="zeros"), blocks)
+        return out.reshape(D, hp, wp, cat.shape[-1])
+
+    wfeats, wimgs, masks = [], [], []
+    for i in range(1, V):
+        grid = plane_sweep_grid(proj_mats[i], depth_values, h, w, pad)
+        cat = jnp.concatenate([feats[i], imgs_l[i]], axis=-1)
+        fits = sweep_fits_band(grid, h, rb, band)
+        both = jax.lax.cond(
+            fits,
+            lambda g, c: bilinear_warp_pallas(c, g, rb, band),
+            lambda g, c: gather_fallback(c, g),
+            grid, cat)
+        wfeats.append(both[..., :C])
+        wimgs.append(both[..., C:])
+        masks.append(in_bounds_mask(grid))
+
+    wfeats = jnp.stack(wfeats)                        # (V-1, D, hp, wp, C)
+    wimgs = jnp.stack(wimgs)
+    masks = jnp.stack(masks)                          # (V-1, D, hp, wp)
+
+    # Rematerialized assembly: without the checkpoint XLA saves the
+    # elementwise intermediates as backward residuals with tile-padded
+    # layouts — the (D,hp,wp,1) count and (.,4) colors tensors blow up
+    # 32-128x padded (measured 41 GB at DTU resolution). Recomputing this
+    # elementwise block in the backward is ~free.
+    @jax.checkpoint
+    def assemble(wfeats, wimgs, masks):
+        volume_sum = ref_feat[None] + jnp.sum(wfeats, axis=0)
+        volume_sq_sum = (ref_feat ** 2)[None] + jnp.sum(wfeats ** 2, axis=0)
+        ones = jnp.ones((1, D, hp, wp), jnp.float32)
+        in_masks = jnp.concatenate([ones, masks], axis=0)  # (V, D, hp, wp)
+        count = 1.0 / jnp.sum(in_masks, axis=0)[..., None]
+        variance = volume_sq_sum * count - (volume_sum * count) ** 2
+
+        ref_rgb = jnp.broadcast_to(ref_img[None], (D, hp, wp, 3))
+        cost = jnp.concatenate(
+            [ref_rgb] + [wimgs[i] for i in range(V - 1)] + [variance],
+            axis=-1)
+        colors = jnp.concatenate(
+            [jnp.concatenate([ref_rgb[None], wimgs], axis=0),
+             in_masks[..., None]], axis=-1)
+        return cost, in_masks, colors
+
+    return assemble(wfeats, wimgs, masks)
 
 
 def build_cost_volume_feat(feats, proj_mats, depth_values, pad: int = 0):

@@ -1,0 +1,324 @@
+"""Fused Pallas TPU kernel for the plane-sweep bilinear warp.
+
+The banded-matmul warp (ops/warp_fast.py) is exact and fast on the MXU, but
+under XLA its per-block intermediate T[m, band*C] round-trips HBM (~42 GB
+per source view at DTU resolution — reductions do not fuse into dot
+outputs), leaving the sweep HBM-bound. This kernel keeps T in VMEM.
+
+Layout (chosen so every in-kernel reshape is tile-preserving, i.e. free):
+
+    source   V  : (h, Cp, w)  channel-major, Cp = channels padded to 8
+    coords  x,y : (1, N)      source-pixel coordinates per output sample,
+                              N = rows * w_out flattened row-major
+    output      : (Cp, N)     channel-major warped features
+
+Per grid step (one block of RB output rows = m = RB * w_out samples):
+
+    V_band = V[ymin : ymin+band]            # (band, Cp, w) dynamic slice
+    A_xw^T = onehot(x)                       # (w, m)   iota compare, VPU
+    T^T    = V_band.reshape(band*Cp, w) @ A_xw^T          # MXU, stays VMEM
+    out    = sum_k  A_yw^T[k] * T^T.view(band, Cp, m)[k]  # VPU band sum
+
+The backward w.r.t. the source accumulates
+    gV[ymin:ymin+band] += (A_yw ⊗ g).reshape(band*Cp, m) @ A_xw  (MXU)
+directly into the (h, Cp, w) output ref across all grid steps — the whole
+source-gradient lives in VMEM, so the backward's HBM traffic is just the
+incoming cotangent.
+
+Band contract: every block's source-y span must fit in `band` rows
+(callers check `sweep_fits_band` and fall back to the exact gather warp —
+same contract as ops/warp_fast.py). Out-of-range corners get zero weight
+(zeros padding, align_corners=True), matching grid_sample_2d.
+
+Reference semantics: utils.py:580-630 (homo_warp) — this is the TPU-native
+replacement for its F.grid_sample plane sweep.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .interp import grid_sample_2d
+from .precision import INTERP
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_row_block(rows_per_plane: int, w_out: int,
+                    target: int = 16, max_rows: int = 64):
+    """Row-block size for the kernel: must divide rows_per_plane (blocks
+    must not straddle planes — the y-band assumption holds only within one
+    plane) AND give a lane count m = rb * w_out divisible by 128 (Mosaic
+    block constraint). Prefers the divisor nearest `target`; returns None
+    when no legal block exists (callers fall back to the gather warp)."""
+    candidates = [b for b in range(1, min(rows_per_plane, max_rows) + 1)
+                  if rows_per_plane % b == 0 and (b * w_out) % 128 == 0]
+    if not candidates:
+        return None
+    return min(candidates, key=lambda b: (abs(b - target), b))
+
+
+# --------------------------------------------------------------- forward ---
+
+
+def _fwd_kernel(x_ref, y_ref, v_ref, out_ref, *, h, w, band, cp):
+    xs = x_ref[0, :]                                   # (m,)
+    ys = y_ref[0, :]
+    m = xs.shape[0]
+
+    x0f = jnp.floor(xs)
+    y0f = jnp.floor(ys)
+    fx = xs - x0f
+    fy = ys - y0f
+    x0 = jnp.clip(x0f, -2.0, w + 1.0).astype(jnp.int32)
+    y0 = jnp.clip(y0f, -2.0, h + 1.0).astype(jnp.int32)
+
+    in_x0 = (x0 >= 0) & (x0 <= w - 1)
+    in_x1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+    in_y0 = (y0 >= 0) & (y0 <= h - 1)
+    in_y1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+
+    ymin = jnp.min(jnp.where(in_y0, y0, jnp.where(in_y1, y0 + 1, h)))
+    ymin = jnp.clip(ymin, 0, max(h - band, 0))
+
+    # A_xw^T (w, m): two-nonzero-per-column interpolation matrix
+    xw = jax.lax.broadcasted_iota(jnp.int32, (w, m), 0)
+    wx0 = jnp.where(in_x0, 1.0 - fx, 0.0)[None, :]
+    wx1 = jnp.where(in_x1, fx, 0.0)[None, :]
+    axw_t = (jnp.where(xw == x0[None, :], wx0, 0.0)
+             + jnp.where(xw == x0[None, :] + 1, wx1, 0.0))
+
+    # A_yw^T (band, m) relative to ymin
+    off = y0 - ymin
+    karr = jax.lax.broadcasted_iota(jnp.int32, (band, m), 0)
+    wy0 = jnp.where(in_y0, 1.0 - fy, 0.0)[None, :]
+    wy1 = jnp.where(in_y1, fy, 0.0)[None, :]
+    ayw_t = (jnp.where(karr == off[None, :], wy0, 0.0)
+             + jnp.where(karr == off[None, :] + 1, wy1, 0.0))
+
+    vband = v_ref[pl.ds(ymin, band)]                   # (band, cp, w)
+    t = jax.lax.dot_general(
+        vband.reshape(band * cp, w), axw_t,
+        (((1,), (0,)), ((), ())),
+        precision=INTERP, preferred_element_type=jnp.float32)
+    out_ref[:, :] = jnp.sum(t.reshape(band, cp, m) * ayw_t[:, None, :],
+                            axis=0)
+
+
+def _sweep_fwd_pallas(src_cw, xs, ys, band: int, m: int,
+                      interpret: bool = False):
+    """src_cw (h, cp, w); xs/ys (1, N) source-pixel coords; -> (cp, N)."""
+    h, cp, w = src_cw.shape
+    n = xs.shape[1]
+    assert n % m == 0, (n, m)
+    grid = (n // m,)
+
+    kern = functools.partial(_fwd_kernel, h=h, w=w, band=band, cp=cp)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, m), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, cp, w), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cp, m), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cp, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xs, ys, src_cw)
+
+
+# -------------------------------------------------------------- backward ---
+
+
+def _bwd_kernel(x_ref, y_ref, g_ref, gv_ref, *, h, w, band, cp):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        gv_ref[:, :, :] = jnp.zeros_like(gv_ref)
+
+    xs = x_ref[0, :]
+    ys = y_ref[0, :]
+    m = xs.shape[0]
+
+    x0f = jnp.floor(xs)
+    y0f = jnp.floor(ys)
+    fx = xs - x0f
+    fy = ys - y0f
+    x0 = jnp.clip(x0f, -2.0, w + 1.0).astype(jnp.int32)
+    y0 = jnp.clip(y0f, -2.0, h + 1.0).astype(jnp.int32)
+
+    in_x0 = (x0 >= 0) & (x0 <= w - 1)
+    in_x1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+    in_y0 = (y0 >= 0) & (y0 <= h - 1)
+    in_y1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+
+    ymin = jnp.min(jnp.where(in_y0, y0, jnp.where(in_y1, y0 + 1, h)))
+    ymin = jnp.clip(ymin, 0, max(h - band, 0))
+
+    xw = jax.lax.broadcasted_iota(jnp.int32, (w, m), 0)
+    wx0 = jnp.where(in_x0, 1.0 - fx, 0.0)[None, :]
+    wx1 = jnp.where(in_x1, fx, 0.0)[None, :]
+    axw_t = (jnp.where(xw == x0[None, :], wx0, 0.0)
+             + jnp.where(xw == x0[None, :] + 1, wx1, 0.0))
+
+    off = y0 - ymin
+    karr = jax.lax.broadcasted_iota(jnp.int32, (band, m), 0)
+    wy0 = jnp.where(in_y0, 1.0 - fy, 0.0)[None, :]
+    wy1 = jnp.where(in_y1, fy, 0.0)[None, :]
+    ayw_t = (jnp.where(karr == off[None, :], wy0, 0.0)
+             + jnp.where(karr == off[None, :] + 1, wy1, 0.0))
+
+    g = g_ref[:, :]                                    # (cp, m)
+    gt = (ayw_t[:, None, :] * g[None, :, :]).reshape(band * cp, m)
+    gband = jax.lax.dot_general(
+        gt, axw_t, (((1,), (1,)), ((), ())),
+        precision=INTERP, preferred_element_type=jnp.float32)
+    gv_ref[pl.ds(ymin, band)] += gband.reshape(band, cp, w)
+
+
+def _sweep_bwd_pallas(g_cw, xs, ys, h: int, w: int, band: int, m: int,
+                      interpret: bool = False):
+    """g_cw (cp, N) cotangent; -> grad src (h, cp, w)."""
+    cp, n = g_cw.shape
+    assert n % m == 0, (n, m)
+    grid = (n // m,)
+
+    kern = functools.partial(_bwd_kernel, h=h, w=w, band=band, cp=cp)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, m), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, m), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((h, cp, w), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, cp, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xs, ys, g_cw)
+
+
+# ------------------------------------------------------------ public API ---
+
+
+def sweep_fits_band(grid, h: int, row_block: int, band: int):
+    """Whether every row_block-row block's source-y span fits the band
+    (same contract as ops/warp_fast._prep). grid: (..., w_out, 2)
+    normalized coords; blocks are consecutive output rows."""
+    y = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    rows = y.reshape(-1, y.shape[-1])
+    blocks = rows.reshape(-1, row_block, y.shape[-1])
+    y0 = jnp.floor(jnp.clip(blocks, -2.0, h + 1.0)).astype(jnp.int32)
+    in_y0 = (y0 >= 0) & (y0 <= h - 1)
+    in_y1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+    # rows actually read: y0 where its corner is in range, y0+1 likewise
+    needed_min = jnp.where(in_y0, y0, jnp.where(in_y1, y0 + 1, h))
+    needed_max = jnp.where(in_y1, y0 + 1, jnp.where(in_y0, y0, -1))
+    ymin = jnp.clip(jnp.min(needed_min, axis=(1, 2)), 0, max(h - band, 0))
+    ymax = jnp.max(needed_max, axis=(1, 2))
+    return jnp.all(ymax - ymin < band)
+
+
+def _auto_interpret(interpret):
+    """interpret=None -> interpret automatically off-TPU so the same code
+    runs in CPU tests and the CPU-mesh multichip dryrun."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def bilinear_warp_pallas(src, grid, row_block: int = 16, band: int = 32,
+                         interpret: bool | None = None):
+    """Bilinear zeros-padded warp (align_corners=True) as one fused Pallas
+    kernel; equals grid_sample_2d(src, grid, 'zeros') whenever the band
+    contract holds (callers must check `sweep_fits_band` / know the
+    geometry; the kernel clamps silently otherwise).
+
+    Args:
+        src: (h, w, C) channel-last source map.
+        grid: (..., w_out, 2) normalized coords; second-to-last axis is
+              contiguous output rows. The number of rows per plane
+              (= prod of leading dims except the last) must be divisible
+              by row_block.
+        row_block: output rows per kernel block.
+        band: source-row band height (static).
+
+    Returns:
+        (..., C) warped features (float32).
+
+    The backward wrt `src` runs the transposed kernel (grid cotangent is
+    zeros — camera geometry is not trained, cf. warp_fast grid_grad).
+    """
+    return _warp_fwd_impl(src, grid, row_block, band, interpret)
+
+
+def _pix_coords(grid, h, w):
+    """Flat (1, N) source-pixel coordinate arrays. Kept 2-D with the sample
+    axis in lanes: a (..., 2)-shaped residual would be tile-padded 2->128
+    lanes by XLA when saved for the backward (measured 2.4 GB per view at
+    DTU resolution)."""
+    xy = grid.reshape(1, -1, 2)
+    xs = (xy[..., 0] + 1.0) * 0.5 * (w - 1)
+    ys = (xy[..., 1] + 1.0) * 0.5 * (h - 1)
+    return xs, ys
+
+
+def _warp_fwd_impl(src, grid, row_block, band, interpret):
+    h, w, c = src.shape
+    lead = grid.shape[:-1]
+    w_out = grid.shape[-2]
+    cp = _round_up(c, 8)
+    src_cw = jnp.pad(src, ((0, 0), (0, 0), (0, cp - c))).transpose(0, 2, 1)
+
+    xs, ys = _pix_coords(grid, h, w)
+    m = row_block * w_out
+    out = _sweep_fwd_pallas(src_cw, xs, ys, band, m,
+                            _auto_interpret(interpret))   # (cp, N)
+    return out[:c].T.reshape(*lead, c)
+
+
+def _warp_fwd_rule(src, grid, row_block, band, interpret):
+    h, w, _ = src.shape
+    xs, ys = _pix_coords(grid, h, w)
+    out = _warp_fwd_impl(src, grid, row_block, band, interpret)
+    # residuals avoid the (..., 2) grid layout (see _pix_coords)
+    return out, (src, xs, ys)
+
+
+def _warp_bwd_rule(row_block, band, interpret, res, g):
+    src, xs, ys = res
+    h, w, c = src.shape
+    # grid shape is the output's leading shape + a coordinate pair
+    grid_shape = (*g.shape[:-1], 2)
+    w_out = grid_shape[-2]
+    cp = _round_up(c, 8)
+    g_cw = jnp.pad(g.reshape(-1, c).T, ((0, cp - c), (0, 0)))
+    m = row_block * w_out
+    gv = _sweep_bwd_pallas(g_cw, xs, ys, h, w, band, m,
+                           _auto_interpret(interpret))
+    g_src = gv.transpose(0, 2, 1)[:, :, :c]
+    return g_src, jnp.zeros(grid_shape, xs.dtype)
+
+
+bilinear_warp_pallas.defvjp(_warp_fwd_rule, _warp_bwd_rule)

@@ -21,6 +21,7 @@ import optax
 from ..io.checkpoint import load_checkpoint, latest_checkpoint, save_checkpoint
 from ..io.torch_ckpt import load_reference_checkpoint
 from ..models import init_mlp, init_mvsnet, mvsnet_apply
+from ..models.mvsnet import resolve_warp_mode
 from ..ops.geometry import get_ndc_coordinate
 from ..ops.precision import matmul_f32
 from ..ops.sampling import ray_marcher, ray_marcher_fine
@@ -94,9 +95,11 @@ class FinetuneSystem:
             volume = jnp.asarray(self.ckpt_volume)
         else:
             volume = jax.jit(
-                lambda p, im: mvsnet_apply(p, im, self.proj_mats,
-                                           self.near_far, pad=args.pad,
-                                           lindisp=args.use_disp)[0]
+                lambda p, im: mvsnet_apply(
+                    p, im, self.proj_mats, self.near_far, pad=args.pad,
+                    lindisp=args.use_disp,
+                    warp_mode=resolve_warp_mode(
+                        getattr(args, "warp_mode", "auto")))[0]
             )(self.mvsnet, self.imgs_norm)
         self.imgs = unpreprocess_images(self.imgs_norm)
 

@@ -34,6 +34,7 @@ import optax
 from ..io.checkpoint import save_checkpoint
 from ..io.torch_ckpt import load_reference_checkpoint
 from ..models import init_mlp, init_mvsnet, mvsnet_apply
+from ..models.mvsnet import resolve_warp_mode
 from ..ops.geometry import get_ndc_coordinate
 from ..ops.sampling import ray_marcher, ray_marcher_fine
 from ..render.renderer import (render_density, render_image_chunked,
@@ -163,10 +164,11 @@ class FusionFinetuneSystem:
             imgs_norm = jnp.asarray(imgs_np)
             pose_source = {k: jnp.asarray(v) for k, v in pose_source.items()}
             local_volume = jax.jit(
-                lambda p, im, pm: mvsnet_apply(p, im, pm,
-                                               jnp.asarray(near_far,
-                                                           jnp.float32),
-                                               pad=args.pad)[0]
+                lambda p, im, pm: mvsnet_apply(
+                    p, im, pm, jnp.asarray(near_far, jnp.float32),
+                    pad=args.pad,
+                    warp_mode=resolve_warp_mode(
+                        getattr(args, "warp_mode", "auto")))[0]
             )(self.mvsnet, imgs_norm, jnp.asarray(proj_mats))
             imgs = unpreprocess_images(imgs_norm)
             if i == 0:

@@ -79,8 +79,9 @@ class GeneralizableSystem:
         self.optimizer = optimizer
 
         from ..ops.volume_grad import volume_band_width
-        from ..models.mvsnet import N_DEPTH_PLANES
+        from ..models.mvsnet import N_DEPTH_PLANES, resolve_warp_mode
         band_k = volume_band_width(N_DEPTH_PLANES, n_samples)
+        warp_mode = resolve_warp_mode(getattr(args, "warp_mode", "auto"))
 
         def loss_fn(params, batch, key):
             imgs_norm = batch["images"]          # (V, H, W, 3) normalized
@@ -91,7 +92,7 @@ class GeneralizableSystem:
 
             volume, _, _ = mvsnet_apply(
                 params["mvsnet"], imgs_norm[:3], proj_mats[:3], near_fars[0],
-                pad=args.pad, lindisp=args.use_disp)
+                pad=args.pad, lindisp=args.use_disp, warp_mode=warp_mode)
             imgs = unpreprocess_images(imgs_norm)
 
             # rays in the target view (= last view, utils.py:177)

@@ -1,6 +1,11 @@
 """Profile the generalizable training step (config 4) on the real TPU:
 MVSNet forward, full step fwd+bwd, and component costs at DTU resolution."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
@@ -80,9 +85,11 @@ timeit("loss fwd only", jax.jit(
 params, opt_state = sys_.params, sys_.opt_state
 out = step(params, opt_state, batch, key)
 jax.block_until_ready(out[2])
+# the step donates (params, opt_state) — continue from the returned
+# buffers, not the originals (reusing donated arrays is INVALID_ARGUMENT)
+p, o = out[0], out[1]
 t0 = time.perf_counter()
 iters = 10
-p, o = params, opt_state
 for i in range(iters):
     p, o, loss, aux = step(p, o, batch, jax.random.fold_in(key, i))
 jax.block_until_ready(loss)
