@@ -202,72 +202,134 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
 
 def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
                               ref_feat, ref_img, plane_block, warp_band):
-    """Whole-volume sweep via the fused Pallas warp (ops/pallas_sweep.py):
-    each source view's [feat | rgb] is warped in ONE kernel launch (the
-    banded intermediate never touches HBM), with a plane-blocked exact
-    gather as the lax.cond fallback when the y-band contract fails. The
-    variance assembly stays in XLA — it is elementwise and fuses."""
-    from .pallas_sweep import (_pick_row_block, bilinear_warp_pallas,
+    """Whole-volume sweep + variance in ONE fused Pallas kernel
+    (ops/pallas_sweep.py `cost_volume_fused_pallas`): every source view's
+    [feat | rgb] is warped in-VMEM and the masked cross-view mean/variance
+    accumulated per block, so no per-view warped tensor ever reaches HBM
+    (the separate-warp formulation round-trips ~4 GB/direction at DTU
+    resolution). A plane-blocked exact gather + XLA assembly is the
+    lax.cond fallback when the y-band contract fails.
+
+    `in_masks` / `colors` are assembled from DCE-able XLA ops — no caller
+    of the training path consumes them (they exist for return_color
+    consumers, models.py:925-926, which run once per scene at most)."""
+    from .pallas_sweep import (_pick_row_block, _pix_coords,
+                               cost_volume_fused_pallas, _Static,
                                sweep_fits_band)
 
     V, h, w, C = feats.shape
+    Ci = imgs_l.shape[-1]
     D = depth_values.shape[0]
     hp, wp = h + 2 * pad, w + 2 * pad
-    rb = _pick_row_block(hp, wp)
-    band = warp_band
+    cp = -(-(C + Ci) // 8) * 8
+    cc = -(-(Ci * V + C) // 8) * 8
+
+    # The warp matmul cost is linear in `band`: prefer a narrow band with
+    # small row blocks (near-rectified geometry: y-span per 8 rows ~= 10,
+    # fits band 16) over the wide default. A second, wide-band kernel level
+    # would cost ~100 MB of HBM we don't have at DTU resolution — geometry
+    # that violates the narrow band takes the exact-gather cond fallback.
+    small_rb = _pick_row_block(hp, wp, target=8)
+    if small_rb is not None and small_rb * 2 <= warp_band:
+        candidates = [(small_rb, warp_band // 2)]
+    else:
+        candidates = [(_pick_row_block(hp, wp), warp_band)]
+
+    grids = [plane_sweep_grid(proj_mats[i], depth_values, h, w, pad)
+             for i in range(1, V)]
+
+    xs, ys = [], []
+    for g in grids:
+        x_, y_ = _pix_coords(g, h, w)
+        xs.append(x_)
+        ys.append(y_)
+    xs = jnp.stack(xs)                                  # (V-1, 1, N)
+    ys = jnp.stack(ys)
+
+    def pack_src(feat, img):
+        cat = jnp.concatenate([feat, img], axis=-1)     # (h, w, C+Ci)
+        return jnp.pad(cat, ((0, 0), (0, 0),
+                             (0, cp - C - Ci))).transpose(0, 2, 1)
+
+    srcs_cw = jnp.stack([pack_src(feats[i], imgs_l[i])
+                         for i in range(1, V)])         # (V-1, h, cp, w)
+    ref_cat = jnp.concatenate([ref_feat, ref_img], axis=-1)  # (hp, wp, .)
+    ref_p = jnp.pad(ref_cat, ((0, 0), (0, 0), (0, cp - C - Ci)))
+
+    def make_branch(rb, band):
+        bpp = hp // rb
+        m = rb * wp
+        refb = ref_p.reshape(bpp, rb, wp, cp).transpose(0, 3, 1, 2)
+        refb = refb.reshape(bpp, cp, m)
+        static = _Static(band=band, m=m, bpp=bpp, c_feat=C, c_img=Ci,
+                         cc=cc)
+
+        def branch(srcs_cw, xs, ys):
+            cost_cm = cost_volume_fused_pallas(srcs_cw, refb, xs, ys,
+                                               static)
+            return cost_cm.reshape(cc, D, hp, wp).transpose(1, 2, 3, 0)[
+                ..., :Ci * V + C]
+
+        fits = jnp.all(jnp.stack(
+            [sweep_fits_band(g, h, rb, band) for g in grids]))
+        return fits, branch
 
     # checkpoint: the fallback's gather residuals (corner indices/weights
     # with trailing-1 dims, tile-padded 128x) are allocated even when the
     # cond never takes this branch — measured 4x 2.2 GB at DTU resolution.
     @jax.checkpoint
-    def gather_fallback(cat, grid):
-        blocks = grid.reshape(-1, plane_block, hp, wp, 2)
-        out = jax.lax.map(
-            lambda g: grid_sample_2d(cat, g, padding_mode="zeros"), blocks)
-        return out.reshape(D, hp, wp, cat.shape[-1])
+    def gather_fallback(srcs_cw, xs, ys):
+        wboth = []
+        for i in range(V - 1):
+            cat = srcs_cw[i].transpose(0, 2, 1)[:, :, :C + Ci]
+            grid_i = jnp.stack(
+                [xs[i, 0] / ((w - 1) / 2.0) - 1.0,
+                 ys[i, 0] / ((h - 1) / 2.0) - 1.0],
+                axis=-1).reshape(D, hp, wp, 2)
+            blocks = grid_i.reshape(-1, plane_block, hp, wp, 2)
+            out = jax.lax.map(
+                lambda g: grid_sample_2d(cat, g, padding_mode="zeros"),
+                blocks)
+            wboth.append(out.reshape(D, hp, wp, C + Ci))
+        volume_sum = ref_feat[None] + sum(b[..., :C] for b in wboth)
+        volume_sq_sum = (ref_feat ** 2)[None] + \
+            sum(b[..., :C] ** 2 for b in wboth)
+        count = jnp.ones((D, hp, wp), jnp.float32)
+        for i in range(V - 1):
+            gx = xs[i, 0].reshape(D, hp, wp)
+            gy = ys[i, 0].reshape(D, hp, wp)
+            count = count + ((gx > 0) & (gx < w - 1)
+                             & (gy > 0) & (gy < h - 1)).astype(jnp.float32)
+        inv = (1.0 / count)[..., None]
+        variance = volume_sq_sum * inv - (volume_sum * inv) ** 2
+        ref_rgb = jnp.broadcast_to(ref_img[None], (D, hp, wp, Ci))
+        return jnp.concatenate(
+            [ref_rgb] + [b[..., C:] for b in wboth] + [variance], axis=-1)
 
-    wfeats, wimgs, masks = [], [], []
-    for i in range(1, V):
-        grid = plane_sweep_grid(proj_mats[i], depth_values, h, w, pad)
-        cat = jnp.concatenate([feats[i], imgs_l[i]], axis=-1)
-        fits = sweep_fits_band(grid, h, rb, band)
-        both = jax.lax.cond(
-            fits,
-            lambda g, c: bilinear_warp_pallas(c, g, rb, band),
-            lambda g, c: gather_fallback(c, g),
-            grid, cat)
-        wfeats.append(both[..., :C])
-        wimgs.append(both[..., C:])
-        masks.append(in_bounds_mask(grid))
+    cost_fn = gather_fallback
+    for rb, band in reversed(candidates):
+        fits, branch = make_branch(rb, band)
+        cost_fn = (lambda fits, branch, nxt:
+                   lambda s, x, y: jax.lax.cond(fits, branch, nxt, s, x, y)
+                   )(fits, branch, cost_fn)
+    cost = cost_fn(srcs_cw, xs, ys)
 
-    wfeats = jnp.stack(wfeats)                        # (V-1, D, hp, wp, C)
-    wimgs = jnp.stack(wimgs)
-    masks = jnp.stack(masks)                          # (V-1, D, hp, wp)
-
-    # Rematerialized assembly: without the checkpoint XLA saves the
-    # elementwise intermediates as backward residuals with tile-padded
-    # layouts — the (D,hp,wp,1) count and (.,4) colors tensors blow up
-    # 32-128x padded (measured 41 GB at DTU resolution). Recomputing this
-    # elementwise block in the backward is ~free.
-    @jax.checkpoint
-    def assemble(wfeats, wimgs, masks):
-        volume_sum = ref_feat[None] + jnp.sum(wfeats, axis=0)
-        volume_sq_sum = (ref_feat ** 2)[None] + jnp.sum(wfeats ** 2, axis=0)
-        ones = jnp.ones((1, D, hp, wp), jnp.float32)
-        in_masks = jnp.concatenate([ones, masks], axis=0)  # (V, D, hp, wp)
-        count = 1.0 / jnp.sum(in_masks, axis=0)[..., None]
-        variance = volume_sq_sum * count - (volume_sum * count) ** 2
-
-        ref_rgb = jnp.broadcast_to(ref_img[None], (D, hp, wp, 3))
-        cost = jnp.concatenate(
-            [ref_rgb] + [wimgs[i] for i in range(V - 1)] + [variance],
-            axis=-1)
-        colors = jnp.concatenate(
-            [jnp.concatenate([ref_rgb[None], wimgs], axis=0),
-             in_masks[..., None]], axis=-1)
-        return cost, in_masks, colors
-
-    return assemble(wfeats, wimgs, masks)
+    # side outputs for return_color consumers — DCE'd when unused
+    masks = jnp.stack([in_bounds_mask(g) for g in grids])
+    in_masks = jnp.concatenate(
+        [jnp.ones((1, D, hp, wp), jnp.float32), masks], axis=0)
+    ref_rgb = jnp.broadcast_to(ref_img[None], (D, hp, wp, Ci))
+    wimgs = jnp.stack([
+        jax.lax.map(
+            lambda g: grid_sample_2d(imgs_l[i + 1], g,
+                                     padding_mode="zeros"),
+            grids[i].reshape(-1, plane_block, hp, wp, 2)
+        ).reshape(D, hp, wp, Ci)
+        for i in range(V - 1)])
+    colors = jnp.concatenate(
+        [jnp.concatenate([ref_rgb[None], wimgs], axis=0),
+         in_masks[..., None]], axis=-1)
+    return cost, in_masks, colors
 
 
 def build_cost_volume_feat(feats, proj_mats, depth_values, pad: int = 0):

@@ -322,3 +322,285 @@ def _warp_bwd_rule(row_block, band, interpret, res, g):
 
 
 bilinear_warp_pallas.defvjp(_warp_fwd_rule, _warp_bwd_rule)
+
+
+# ----------------------------------------------- fused variance sweep ------
+#
+# The full cost-volume forward (models.py:839-893) in ONE kernel: per block
+# of m = rb * wp samples (rb output rows of one sweep plane), warp every
+# source view's [feat | rgb] with the banded one-hot matmuls above, keep the
+# warped features in VMEM, accumulate the masked cross-view mean/variance,
+# and write the 41-channel cost block. Nothing per-view ever touches HBM —
+# the separate-warp + XLA-assembly formulation round-trips ~4 GB of warped
+# tensors per direction at DTU resolution.
+#
+# The reference view contributes its own (unwarped, zero-padded) features at
+# every plane; its rows enter as a VMEM-resident (bpp, cp, m) repack indexed
+# by the block's row position. Backward recomputes the warps in-kernel
+# (2 extra MXU passes, far cheaper than saving them), applies the variance
+# chain rule, and splat-transposes per-view gradients into VMEM-resident
+# accumulators (same contract as _bwd_kernel).
+
+
+def _warp_block(xs, ys, v_ref, h, w, band, cp):
+    """Shared banded warp for one block: (cp, m) warped values + the pieces
+    the backward reuses (axw_t, ayw_t, ymin)."""
+    m = xs.shape[0]
+    x0f = jnp.floor(xs)
+    y0f = jnp.floor(ys)
+    fx = xs - x0f
+    fy = ys - y0f
+    x0 = jnp.clip(x0f, -2.0, w + 1.0).astype(jnp.int32)
+    y0 = jnp.clip(y0f, -2.0, h + 1.0).astype(jnp.int32)
+
+    in_x0 = (x0 >= 0) & (x0 <= w - 1)
+    in_x1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+    in_y0 = (y0 >= 0) & (y0 <= h - 1)
+    in_y1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+
+    ymin = jnp.min(jnp.where(in_y0, y0, jnp.where(in_y1, y0 + 1, h)))
+    ymin = jnp.clip(ymin, 0, max(h - band, 0))
+
+    xw = jax.lax.broadcasted_iota(jnp.int32, (w, m), 0)
+    wx0 = jnp.where(in_x0, 1.0 - fx, 0.0)[None, :]
+    wx1 = jnp.where(in_x1, fx, 0.0)[None, :]
+    axw_t = (jnp.where(xw == x0[None, :], wx0, 0.0)
+             + jnp.where(xw == x0[None, :] + 1, wx1, 0.0))
+
+    off = y0 - ymin
+    karr = jax.lax.broadcasted_iota(jnp.int32, (band, m), 0)
+    wy0 = jnp.where(in_y0, 1.0 - fy, 0.0)[None, :]
+    wy1 = jnp.where(in_y1, fy, 0.0)[None, :]
+    ayw_t = (jnp.where(karr == off[None, :], wy0, 0.0)
+             + jnp.where(karr == off[None, :] + 1, wy1, 0.0))
+
+    vband = v_ref[pl.ds(ymin, band)]                  # (band, cp, w)
+    t = jax.lax.dot_general(
+        vband.reshape(band * cp, w), axw_t,
+        (((1,), (0,)), ((), ())),
+        precision=INTERP, preferred_element_type=jnp.float32)
+    warped = jnp.sum(t.reshape(band, cp, m) * ayw_t[:, None, :], axis=0)
+    return warped, axw_t, ayw_t, ymin
+
+
+def _mask_block(xs, ys, h, w):
+    """Strict in-bounds mask from source-pixel coords — equals
+    in_bounds_mask(grid) (models.py:874-877): grid in (-1, 1) exclusive."""
+    return ((xs > 0.0) & (xs < w - 1.0)
+            & (ys > 0.0) & (ys < h - 1.0)).astype(jnp.float32)
+
+
+def _fused_fwd_kernel(x_ref, y_ref, refb_ref, *rest, h, w, band, cp,
+                      n_src, bpp, c_feat, c_img):
+    src_refs = rest[:n_src]
+    out_ref = rest[n_src]
+    i = pl.program_id(0)
+    rowblock = jax.lax.rem(i, bpp)
+
+    ref_cm = refb_ref[pl.ds(rowblock, 1)].reshape(refb_ref.shape[1],
+                                                  refb_ref.shape[2])
+    vsum = ref_cm[:c_feat]
+    vsq = ref_cm[:c_feat] ** 2
+    m = x_ref.shape[2]
+    count = jnp.ones((1, m), jnp.float32)
+
+    wimgs = []
+    for v in range(n_src):
+        xs = x_ref[v, 0, :]
+        ys = y_ref[v, 0, :]
+        warped, _, _, _ = _warp_block(xs, ys, src_refs[v], h, w, band, cp)
+        vsum = vsum + warped[:c_feat]
+        vsq = vsq + warped[:c_feat] ** 2
+        wimgs.append(warped[c_feat:c_feat + c_img])
+        count = count + _mask_block(xs, ys, h, w)[None, :]
+
+    invc = 1.0 / count
+    mean = vsum * invc
+    var = vsq * invc - mean * mean
+
+    out_ref[0:c_img, :] = ref_cm[c_feat:c_feat + c_img]
+    for v in range(n_src):
+        out_ref[c_img * (1 + v):c_img * (2 + v), :] = wimgs[v]
+    base = c_img * (1 + n_src)
+    out_ref[base:base + c_feat, :] = var
+    cc = out_ref.shape[0]
+    if cc > base + c_feat:
+        out_ref[base + c_feat:, :] = jnp.zeros((cc - base - c_feat, m),
+                                               jnp.float32)
+
+
+def _fused_bwd_kernel(x_ref, y_ref, refb_ref, *rest, h, w, band, cp,
+                      n_src, bpp, c_feat, c_img):
+    src_refs = rest[:n_src]
+    g_ref = rest[n_src]
+    gsrc_refs = rest[n_src + 1:2 * n_src + 1]
+    grefb_ref = rest[2 * n_src + 1]
+    i = pl.program_id(0)
+    rowblock = jax.lax.rem(i, bpp)
+
+    @pl.when(i == 0)
+    def _():
+        for v in range(n_src):
+            gsrc_refs[v][:, :, :] = jnp.zeros_like(gsrc_refs[v])
+        grefb_ref[:, :, :] = jnp.zeros_like(grefb_ref)
+
+    ref_cm = refb_ref[pl.ds(rowblock, 1)].reshape(refb_ref.shape[1],
+                                                  refb_ref.shape[2])
+    m = x_ref.shape[2]
+
+    # recompute the forward accumulation
+    vsum = ref_cm[:c_feat]
+    count = jnp.ones((1, m), jnp.float32)
+    warps = []
+    for v in range(n_src):
+        xs = x_ref[v, 0, :]
+        ys = y_ref[v, 0, :]
+        warped, axw_t, ayw_t, ymin = _warp_block(xs, ys, src_refs[v],
+                                                 h, w, band, cp)
+        warps.append((warped, axw_t, ayw_t, ymin))
+        vsum = vsum + warped[:c_feat]
+        count = count + _mask_block(xs, ys, h, w)[None, :]
+    invc = 1.0 / count
+    mean = vsum * invc
+
+    base = c_img * (1 + n_src)
+    g_var = g_ref[base:base + c_feat, :]              # (c_feat, m)
+    two_invc = 2.0 * invc
+
+    for v in range(n_src):
+        warped, axw_t, ayw_t, ymin = warps[v]
+        g_feat = g_var * (two_invc * (warped[:c_feat] - mean))
+        g_img = g_ref[c_img * (1 + v):c_img * (2 + v), :]
+        g_cat = jnp.concatenate(
+            [g_feat, g_img,
+             jnp.zeros((cp - c_feat - c_img, m), jnp.float32)], axis=0)
+        gt = (ayw_t[:, None, :] * g_cat[None, :, :]).reshape(band * cp, m)
+        gband = jax.lax.dot_general(
+            gt, axw_t, (((1,), (1,)), ((), ())),
+            precision=INTERP, preferred_element_type=jnp.float32)
+        gsrc_refs[v][pl.ds(ymin, band)] += gband.reshape(band, cp, w)
+
+    g_ref_feat = g_var * (two_invc * (ref_cm[:c_feat] - mean))
+    g_ref_img = g_ref[0:c_img, :]
+    g_ref_cat = jnp.concatenate(
+        [g_ref_feat, g_ref_img,
+         jnp.zeros((cp - c_feat - c_img, m), jnp.float32)], axis=0)
+    grefb_ref[pl.ds(rowblock, 1)] += g_ref_cat[None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def cost_volume_fused_pallas(srcs_cw, refb, xs, ys, static,
+                             interpret: bool | None = None):
+    """Fused plane-sweep + cross-view-variance cost volume.
+
+    Args:
+        srcs_cw: (V-1, h, cp, w) channel-major per-view [feat(32) | rgb(3)]
+                 sources, cp padded to a multiple of 8.
+        refb: (bpp, cp, m) reference [feat | rgb] repacked by output row
+              block (bpp = hp / rb row blocks, m = rb * wp samples).
+        xs, ys: (V-1, 1, N) source-pixel coords, N = D * hp * wp flattened
+                plane-major.
+        static: dict(band=, m=, bpp=, c_feat=, c_img=, cc=) — hashable via
+                tuple(sorted(...)) wrapper below.
+
+    Returns:
+        cost (cc, N): channels [ref rgb, per-view warped rgb, variance,
+        zero pad], matching models.py:858-860 ordering.
+    """
+    return _fused_fwd_impl(srcs_cw, refb, xs, ys, static, interpret)
+
+
+class _Static(dict):
+    """Hashable static-config dict for custom_vjp nondiff args."""
+
+    def __hash__(self):
+        return hash(tuple(sorted(self.items())))
+
+    def __eq__(self, other):
+        return dict.__eq__(self, other)
+
+
+def _fused_common_specs(srcs_cw, refb, m):
+    n_src, h, cp, w = srcs_cw.shape
+    return [
+        pl.BlockSpec((n_src, 1, m), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_src, 1, m), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(refb.shape, lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((h, cp, w), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(n_src)
+    ]
+
+
+def _fused_fwd_impl(srcs_cw, refb, xs, ys, static, interpret):
+    n_src, h, cp, w = srcs_cw.shape
+    n = xs.shape[2]
+    m = static["m"]
+    cc = static["cc"]
+    kern = functools.partial(
+        _fused_fwd_kernel, h=h, w=w, band=static["band"], cp=cp,
+        n_src=n_src, bpp=static["bpp"], c_feat=static["c_feat"],
+        c_img=static["c_img"])
+    return pl.pallas_call(
+        kern,
+        grid=(n // m,),
+        in_specs=_fused_common_specs(srcs_cw, refb, m),
+        out_specs=pl.BlockSpec((cc, m), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cc, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=_auto_interpret(interpret),
+    )(xs, ys, refb, *[srcs_cw[v] for v in range(n_src)])
+
+
+def _fused_fwd_rule(srcs_cw, refb, xs, ys, static, interpret):
+    out = _fused_fwd_impl(srcs_cw, refb, xs, ys, static, interpret)
+    return out, (srcs_cw, refb, xs, ys)
+
+
+def _fused_bwd_rule(static, interpret, res, g):
+    srcs_cw, refb, xs, ys = res
+    n_src, h, cp, w = srcs_cw.shape
+    n = xs.shape[2]
+    m = static["m"]
+    out_shapes = tuple(
+        [jax.ShapeDtypeStruct((h, cp, w), jnp.float32)] * n_src
+        + [jax.ShapeDtypeStruct(refb.shape, jnp.float32)])
+    out_specs = tuple(
+        [pl.BlockSpec((h, cp, w), lambda i: (0, 0, 0),
+                      memory_space=pltpu.VMEM)] * n_src
+        + [pl.BlockSpec(refb.shape, lambda i: (0, 0, 0),
+                        memory_space=pltpu.VMEM)])
+    kernel = functools.partial(
+        _fused_bwd_kernel, h=h, w=w, band=static["band"], cp=cp,
+        n_src=n_src, bpp=static["bpp"], c_feat=static["c_feat"],
+        c_img=static["c_img"])
+    in_specs = _fused_common_specs(srcs_cw, refb, m) + [
+        pl.BlockSpec((static["cc"], m), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n // m,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=_auto_interpret(interpret),
+    )(xs, ys, refb, *[srcs_cw[v] for v in range(n_src)], g)
+    g_srcs = jnp.stack(outs[:n_src], axis=0)
+    g_refb = outs[n_src]
+    return (g_srcs, g_refb, jnp.zeros_like(xs), jnp.zeros_like(ys))
+
+
+cost_volume_fused_pallas.defvjp(_fused_fwd_rule, _fused_bwd_rule)

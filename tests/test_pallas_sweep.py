@@ -80,9 +80,13 @@ def test_sweep_fits_band_rejects_wide_span():
 
 
 def test_cost_volume_pallas_mode_matches_gather():
+    """Shapes with NO legal Mosaic row block (wp = 36): the pallas mode must
+    statically fall back to the packed path and still be exact."""
     from mvsnerf_tpu.ops.homography import build_cost_volume
+    from mvsnerf_tpu.ops.pallas_sweep import _pick_row_block
 
     h, w, c, d, pad, V = 24, 32, 8, 8, 2, 3
+    assert _pick_row_block(h + 2 * pad, w + 2 * pad) is None
     feats = jnp.asarray(RNG.standard_normal((V, h, w, c)).astype(np.float32))
     imgs = jnp.asarray(
         RNG.uniform(0, 1, (V, 4 * h, 4 * w, 3)).astype(np.float32))
@@ -151,3 +155,71 @@ def test_cost_volume_pallas_mode_backward():
     g_out = jax.grad(lambda f: loss(f, "pallas"))(feats)
     np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
                                atol=2e-3, rtol=1e-3)
+
+
+def _scene(V, h, w, c, d, seed=11):
+    feats = jnp.asarray(
+        np.random.default_rng(seed).standard_normal((V, h, w, c))
+        .astype(np.float32))
+    imgs = jnp.asarray(
+        np.random.default_rng(seed + 1).uniform(0, 1, (V, 4 * h, 4 * w, 3))
+        .astype(np.float32))
+    intr = np.array([[1.2 * w, 0, w / 2], [0, 1.2 * w, h / 2], [0, 0, 1]],
+                    np.float32)
+    ref4 = np.eye(4, dtype=np.float32)
+    ref4[:3] = intr @ np.eye(4)[:3]
+    ref_inv = np.linalg.inv(ref4)
+    projs = []
+    for i in range(V):
+        a = 0.03 * (i - 1)
+        R = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                      [-np.sin(a), 0, np.cos(a)]], np.float32)
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = R
+        w2c[:3, 3] = [0.013 * i + 0.007, 0.003, 0.0]
+        p4 = np.eye(4, dtype=np.float32)
+        p4[:3] = intr @ w2c[:3]
+        projs.append((p4 @ ref_inv)[:3])
+    return feats, imgs, jnp.asarray(np.stack(projs)), jnp.linspace(2.0, 5.0, d)
+
+
+def test_cost_volume_fused_kernel_matches_gather():
+    """Shapes WITH a legal Mosaic row block (hp = wp = 32): the pallas mode
+    runs the fused sweep+variance kernel (interpret mode off-TPU)."""
+    from mvsnerf_tpu.ops.homography import build_cost_volume
+    from mvsnerf_tpu.ops.pallas_sweep import _pick_row_block
+
+    h, w, c, d, pad, V = 26, 26, 8, 8, 3, 3
+    assert _pick_row_block(h + 2 * pad, w + 2 * pad) == 16
+    feats, imgs, projs, depths = _scene(V, h, w, c, d)
+
+    ref = build_cost_volume(imgs, feats, projs, depths, pad=pad,
+                            fast_warp=False)
+    out = build_cost_volume(imgs, feats, projs, depths, pad=pad,
+                            warp_fwd_mode="pallas", warp_band=16)
+    for r, o, name in zip(ref, out, ("cost", "masks", "colors")):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   atol=2e-5, rtol=1e-4, err_msg=name)
+
+
+def test_cost_volume_fused_kernel_backward():
+    """Gradients wrt features AND images through the fused kernel's custom
+    VJP (incl. the reference view via the refb repack) vs the gather path."""
+    from mvsnerf_tpu.ops.homography import build_cost_volume
+
+    h, w, c, d, pad, V = 26, 26, 8, 4, 3, 3
+    feats, imgs, projs, depths = _scene(V, h, w, c, d)
+
+    def loss(f, im, mode):
+        kw = dict(warp_fwd_mode=mode, warp_band=16) if mode == "pallas" \
+            else dict(fast_warp=False)
+        cost = build_cost_volume(im, f, projs, depths, pad=pad, **kw)[0]
+        return jnp.sum(cost ** 2 + 0.3 * cost)
+
+    g_ref = jax.grad(lambda f, im: loss(f, im, "gather"), argnums=(0, 1))(
+        feats, imgs)
+    g_out = jax.grad(lambda f, im: loss(f, im, "pallas"), argnums=(0, 1))(
+        feats, imgs)
+    for r, o, name in zip(g_ref, g_out, ("d_feats", "d_imgs")):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   atol=2e-3, rtol=1e-3, err_msg=name)
