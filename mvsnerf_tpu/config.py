@@ -47,6 +47,13 @@ def config_parser(cmd=None):
                         help="plane-sweep warp implementation (TPU-only "
                              "extension; 'auto' = fused Pallas kernel on "
                              "TPU, packed gather elsewhere)")
+    parser.add_argument("--costreg_impl", type=str, default="auto",
+                        choices=["auto", "packed", "plain"],
+                        help="CostRegNet implementation: 'packed' folds "
+                             "depth slices into channels so every U-Net "
+                             "level runs at 128 lanes (TPU layout "
+                             "optimization, models/costreg_packed.py); "
+                             "'auto' = packed when the shape conforms")
 
     # loader options
     parser.add_argument("--batch_size", type=int, default=1024)

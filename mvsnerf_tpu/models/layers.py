@@ -64,10 +64,16 @@ def abn(p, x, use_running_stats: bool = False, eps: float = 1e-5,
     if use_running_stats:
         mean, var = p["mean"], p["var"]
     else:
-        mean = jnp.mean(x, axes)
-        var = jnp.mean(jnp.square(x), axes) - jnp.square(mean)
-    y = (x - mean) * lax.rsqrt(var + eps) * p["scale"] + p["bias"]
-    return jnp.where(y >= 0, y, slope * y)
+        # Stats always in f32: E[x^2]-E[x]^2 cancels catastrophically in
+        # bf16. For f32 inputs the casts are no-ops; for bf16 inputs XLA
+        # fuses the upcast into the reduction and the normalize, so only
+        # the bf16 result is materialized.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axes)
+        var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+    y = (x.astype(jnp.float32) - mean) * lax.rsqrt(var + eps) \
+        * p["scale"] + p["bias"]
+    return jnp.where(y >= 0, y, slope * y).astype(x.dtype)
 
 
 def init_abn(c: int):

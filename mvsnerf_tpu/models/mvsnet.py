@@ -87,7 +87,7 @@ _COSTREG_ENC = [
 _COSTREG_DEC = [("conv7", 64, 32), ("conv9", 32, 16), ("conv11", 16, 8)]
 
 
-def cost_reg_apply(params, x, use_running_stats: bool = False):
+def cost_reg_apply(params, x, use_running_stats: bool = False, dtype=None):
     """3-D U-Net: x (B, D, H, W, Cin) -> (B, D, H, W, 8) (models.py:756-769).
 
     The three stride-2 levels require D, H, W divisible by 8 (the reference
@@ -95,21 +95,31 @@ def cost_reg_apply(params, x, use_running_stats: bool = False):
     Inputs that don't divide are zero-padded up to the next multiple of 8
     and the output cropped back — a no-op at reference resolutions, and it
     keeps small/odd debug resolutions working.
+
+    `dtype=jnp.bfloat16` runs the convs in bf16 (params stay f32 masters —
+    the cast is inside, so autodiff yields f32 grads; ABN statistics are
+    always f32, see layers.abn). Output is cast back to f32.
     """
     _, d0, h0, w0, _ = x.shape
     pads = [(-s) % 8 for s in (d0, h0, w0)]
     if any(pads):
         x = jnp.pad(x, ((0, 0), (0, pads[0]), (0, pads[1]), (0, pads[2]),
                         (0, 0)))
+    if dtype is not None:
+        x = x.astype(dtype)
+
+    def cast(p):
+        return {"kernel": p["kernel"].astype(dtype)} if dtype is not None \
+            else p
 
     def enc(name, y, stride):
         p = params[name]
-        y = conv3d(p["conv"], y, stride=stride, padding=1)
+        y = conv3d(cast(p["conv"]), y, stride=stride, padding=1)
         return abn(p["bn"], y, use_running_stats=use_running_stats)
 
     def dec(name, y):
         p = params[name]
-        y = conv_transpose3d(p["deconv"], y)
+        y = conv_transpose3d(cast(p["deconv"]), y)
         return abn(p["bn"], y, use_running_stats=use_running_stats)
 
     conv0 = enc("conv0", x, 1)
@@ -121,7 +131,7 @@ def cost_reg_apply(params, x, use_running_stats: bool = False):
     y = conv0 + dec("conv11", y)
     if any(pads):
         y = y[:, :d0, :h0, :w0]
-    return y
+    return y.astype(jnp.float32)
 
 
 def init_cost_reg(key, in_channels: int = 41):
@@ -161,10 +171,22 @@ def depth_plane_values(near, far, n_planes: int = N_DEPTH_PLANES,
     return near * (1.0 - t) + far * t
 
 
+def resolve_costreg_impl(impl: str, d: int, hp: int, wp: int) -> str:
+    """'auto' -> the depth-packed U-Net (models/costreg_packed.py) when the
+    shape conforms (D%16, H%8, W%8) — XLA lane-pads the plain U-Net's small
+    channel counts up to 16x in HBM, which dominates the generalizable
+    step on TPU. 'plain' forces the reference-layout implementation."""
+    if impl == "auto":
+        return "packed" if (d % 16 == 0 and hp % 8 == 0 and wp % 8 == 0) \
+            else "plain"
+    return impl
+
+
 def mvsnet_apply(params, imgs, proj_mats, near_far, pad: int = 0,
                  lindisp: bool = False, n_planes: int = N_DEPTH_PLANES,
                  use_running_stats: bool = False,
-                 warp_mode: str = "packed"):
+                 warp_mode: str = "packed",
+                 costreg_impl: str = "auto"):
     """Build the neural encoding volume (models.py:895-932).
 
     Args:
@@ -175,6 +197,7 @@ def mvsnet_apply(params, imgs, proj_mats, near_far, pad: int = 0,
         warp_mode: plane-sweep warp implementation — 'packed' (corner-packed
             gather fwd + banded splat bwd), 'banded' (dense banded matmuls),
             or 'pallas' (fused TPU kernel, ops/pallas_sweep.py).
+        costreg_impl: 'auto' | 'plain' | 'packed' — see resolve_costreg_impl.
 
     Returns:
         volume: (D, hp, wp, 8) encoding volume (channel-last),
@@ -182,15 +205,25 @@ def mvsnet_apply(params, imgs, proj_mats, near_far, pad: int = 0,
         depth_values: (D,).
     """
     V, H, W, _ = imgs.shape
+    hp, wp = H // 4 + 2 * pad, W // 4 + 2 * pad
+    impl = resolve_costreg_impl(costreg_impl, n_planes, hp, wp)
     feats = feature_net_apply(params["feature"], imgs,
                               use_running_stats=use_running_stats)
     depth_values = depth_plane_values(near_far[0], near_far[1], n_planes,
                                       lindisp)
+    layout = "packed16" if impl == "packed" else "dense"
     cost, in_masks, colors = build_cost_volume(imgs, feats, proj_mats,
                                                depth_values, pad=pad,
-                                               warp_fwd_mode=warp_mode)
-    volume = cost_reg_apply(params["cost_reg_2"], cost[None],
-                            use_running_stats=use_running_stats)[0]
+                                               warp_fwd_mode=warp_mode,
+                                               cost_layout=layout)
+    if impl == "packed":
+        from .costreg_packed import cost_reg_packed_apply
+        volume = cost_reg_packed_apply(
+            params["cost_reg_2"], cost,
+            use_running_stats=use_running_stats, packed_input=True)[0]
+    else:
+        volume = cost_reg_apply(params["cost_reg_2"], cost[None],
+                                use_running_stats=use_running_stats)[0]
     return volume, colors, depth_values
 
 

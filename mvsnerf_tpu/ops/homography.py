@@ -89,7 +89,8 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
                       fast_warp: bool = True, warp_row_block: int = 16,
                       warp_band: int = 32, warp_dtype=None,
                       sweep_remat: bool = False,
-                      warp_fwd_mode: str = "packed"):
+                      warp_fwd_mode: str = "packed",
+                      cost_layout: str = "dense"):
     """Cross-view variance cost volume with warped source RGB
     (models.py:839-893, `build_volume_costvar_img`).
 
@@ -111,7 +112,12 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
         cost: (D, hp, wp, 3V + C) channel-last; channels ordered
               [ref RGB(3), warped src RGB(3(V-1)), variance(C)] to match the
               reference layout (models.py:858-860) so the CostRegNet
-              checkpoint weights apply unchanged.
+              checkpoint weights apply unchanged. With
+              `cost_layout="packed16"`: (1, D/16, hp, wp, 16*(3V+C)), the
+              depth-packed layout of models/costreg_packed.py (packed
+              channel = p*(3V+C) + c), produced WITHOUT materializing the
+              dense tensor — the dense full-res small-channel layout costs
+              ~3x in XLA lane padding at DTU scale.
         in_masks: (V, D, hp, wp) in-bound masks (mask 0 == all ones).
         colors: (V, D, hp, wp, 4) per-view (RGB, mask) for return_color
                 consumers (models.py:925-926).
@@ -119,6 +125,9 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
     V, h, w, C = feats.shape
     D = depth_values.shape[0]
     hp, wp = h + 2 * pad, w + 2 * pad
+    assert cost_layout in ("dense", "packed16")
+    if cost_layout == "packed16":
+        assert D % 16 == 0, D
     if plane_block is None:
         plane_block = _plane_block_size(D)
     assert D % plane_block == 0, (D, plane_block)
@@ -137,7 +146,7 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
         if _pick_row_block(hp, wp) is not None:
             return _build_cost_volume_pallas(
                 imgs_l, feats, proj_mats, depth_values, pad, ref_feat,
-                ref_img, plane_block, warp_band)
+                ref_img, plane_block, warp_band, cost_layout)
         # no legal Mosaic row block at this shape -> packed gather path
         warp_fwd_mode = "packed"
 
@@ -197,11 +206,15 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
     cost = cost_b.reshape(D, hp, wp, cost_b.shape[-1])
     in_masks = masks_b.transpose(1, 0, 2, 3, 4).reshape(V, D, hp, wp)
     colors = colors_b.transpose(1, 0, 2, 3, 4, 5).reshape(V, D, hp, wp, 4)
+    if cost_layout == "packed16":
+        from ..models.costreg_packed import pack_volume
+        cost = pack_volume(cost[None], 16)
     return cost, in_masks, colors
 
 
 def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
-                              ref_feat, ref_img, plane_block, warp_band):
+                              ref_feat, ref_img, plane_block, warp_band,
+                              cost_layout="dense"):
     """Whole-volume sweep + variance in ONE fused Pallas kernel
     (ops/pallas_sweep.py `cost_volume_fused_pallas`): every source view's
     [feat | rgb] is warped in-VMEM and the masked cross-view mean/variance
@@ -267,8 +280,15 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
         def branch(srcs_cw, xs, ys):
             cost_cm = cost_volume_fused_pallas(srcs_cw, refb, xs, ys,
                                                static)
+            ct = Ci * V + C
+            if cost_layout == "packed16":
+                # (cc, D*hp*wp) -> (1, D/16, hp, wp, 16*ct) without ever
+                # materializing the lane-padded dense layout
+                pk = cost_cm.reshape(cc, D // 16, 16, hp, wp)
+                pk = pk.transpose(1, 3, 4, 2, 0)[..., :ct]
+                return pk.reshape(1, D // 16, hp, wp, 16 * ct)
             return cost_cm.reshape(cc, D, hp, wp).transpose(1, 2, 3, 0)[
-                ..., :Ci * V + C]
+                ..., :ct]
 
         fits = jnp.all(jnp.stack(
             [sweep_fits_band(g, h, rb, band) for g in grids]))
@@ -303,8 +323,12 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
         inv = (1.0 / count)[..., None]
         variance = volume_sq_sum * inv - (volume_sum * inv) ** 2
         ref_rgb = jnp.broadcast_to(ref_img[None], (D, hp, wp, Ci))
-        return jnp.concatenate(
+        dense = jnp.concatenate(
             [ref_rgb] + [b[..., C:] for b in wboth] + [variance], axis=-1)
+        if cost_layout == "packed16":
+            from ..models.costreg_packed import pack_volume
+            return pack_volume(dense[None], 16)
+        return dense
 
     cost_fn = gather_fallback
     for rb, band in reversed(candidates):

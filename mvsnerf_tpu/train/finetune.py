@@ -99,7 +99,9 @@ class FinetuneSystem:
                     p, im, self.proj_mats, self.near_far, pad=args.pad,
                     lindisp=args.use_disp,
                     warp_mode=resolve_warp_mode(
-                        getattr(args, "warp_mode", "auto")))[0]
+                        getattr(args, "warp_mode", "auto")),
+                    costreg_impl=getattr(args, "costreg_impl",
+                                         "auto"))[0]
             )(self.mvsnet, self.imgs_norm)
         self.imgs = unpreprocess_images(self.imgs_norm)
 

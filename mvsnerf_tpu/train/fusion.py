@@ -168,7 +168,9 @@ class FusionFinetuneSystem:
                     p, im, pm, jnp.asarray(near_far, jnp.float32),
                     pad=args.pad,
                     warp_mode=resolve_warp_mode(
-                        getattr(args, "warp_mode", "auto")))[0]
+                        getattr(args, "warp_mode", "auto")),
+                    costreg_impl=getattr(args, "costreg_impl",
+                                         "auto"))[0]
             )(self.mvsnet, imgs_norm, jnp.asarray(proj_mats))
             imgs = unpreprocess_images(imgs_norm)
             if i == 0:

@@ -92,7 +92,8 @@ class GeneralizableSystem:
 
             volume, _, _ = mvsnet_apply(
                 params["mvsnet"], imgs_norm[:3], proj_mats[:3], near_fars[0],
-                pad=args.pad, lindisp=args.use_disp, warp_mode=warp_mode)
+                pad=args.pad, lindisp=args.use_disp, warp_mode=warp_mode,
+                costreg_impl=getattr(args, "costreg_impl", "auto"))
             imgs = unpreprocess_images(imgs_norm)
 
             # rays in the target view (= last view, utils.py:177)

@@ -90,6 +90,8 @@ def make_loss(variant):
         else:
             feats = feature_net_apply(params["mvsnet"]["feature"],
                                       imgs_norm[:3])
+            layout = "packed16" if variant.startswith("full_packed") \
+                else "dense"
             if variant == "no_sweep":
                 ref_feat = jnp.pad(feats[0],
                                    ((PAD, PAD), (PAD, PAD), (0, 0)))
@@ -99,12 +101,20 @@ def make_loss(variant):
             else:
                 cost, _, _ = build_cost_volume(
                     imgs_norm[:3], feats, batch["proj_mats"][:3], depths,
-                    pad=PAD, warp_fwd_mode="pallas")
+                    pad=PAD, warp_fwd_mode="pallas", cost_layout=layout)
             if variant == "no_costreg":
                 volume = cost[..., :8]
+            elif variant.startswith("full_packed"):
+                from mvsnerf_tpu.models.costreg_packed import \
+                    cost_reg_packed_apply
+                dt = jnp.bfloat16 if variant.endswith("bf16") else None
+                volume = cost_reg_packed_apply(
+                    params["mvsnet"]["cost_reg_2"], cost, dtype=dt,
+                    packed_input=True)[0]
             else:
+                dt = jnp.bfloat16 if variant == "full_bf16" else None
                 volume = cost_reg_apply(params["mvsnet"]["cost_reg_2"],
-                                        cost[None])[0]
+                                        cost[None], dtype=dt)[0]
         if variant == "no_render":
             return jnp.mean(volume ** 2), {}
 
