@@ -90,8 +90,8 @@ def make_loss(variant):
         else:
             feats = feature_net_apply(params["mvsnet"]["feature"],
                                       imgs_norm[:3])
-            layout = "packed16" if variant.startswith("full_packed") \
-                else "dense"
+            layout = "packed16" if (variant.startswith("full_packed")
+                                    or variant == "no_costreg_p") else "dense"
             if variant == "no_sweep":
                 ref_feat = jnp.pad(feats[0],
                                    ((PAD, PAD), (PAD, PAD), (0, 0)))
@@ -99,10 +99,15 @@ def make_loss(variant):
                     jnp.pad(ref_feat, ((0, 0), (0, 0), (0, 9)))[None],
                     (D, HP, WP, 41))
             else:
+                band = int(os.environ.get("ABL_WARP_BAND", "32"))
                 cost, _, _ = build_cost_volume(
                     imgs_norm[:3], feats, batch["proj_mats"][:3], depths,
-                    pad=PAD, warp_fwd_mode="pallas", cost_layout=layout)
-            if variant == "no_costreg":
+                    pad=PAD, warp_fwd_mode="pallas", cost_layout=layout,
+                    warp_band=band)
+            if variant == "no_costreg_p":
+                from mvsnerf_tpu.models.costreg_packed import unpack_volume
+                volume = unpack_volume(cost, 16)[0][..., :8]
+            elif variant == "no_costreg":
                 volume = cost[..., :8]
             elif variant.startswith("full_packed"):
                 from mvsnerf_tpu.models.costreg_packed import \
