@@ -37,20 +37,31 @@ from jax import lax
 
 from .layers import abn
 
-# (name, kind, Cin, Cout, P_in, P_out) in forward order.
 # kind: 's1' same-res, 's2' stride-2 down, 'up' transposed stride-2 up.
-_LAYERS = [
-    ("conv0", "s1", None, 8, 16, 16),   # Cin filled from input (41)
-    ("conv1", "s2", 8, 16, 16, 8),
-    ("conv2", "s1", 16, 16, 8, 8),
-    ("conv3", "s2", 16, 32, 8, 4),
-    ("conv4", "s1", 32, 32, 4, 4),
-    ("conv5", "s2", 32, 64, 4, 2),
-    ("conv6", "s1", 64, 64, 2, 2),
-    ("conv7", "up", 64, 32, 2, 4),
-    ("conv9", "up", 32, 16, 4, 8),
-    ("conv11", "up", 16, 8, 8, 16),
-]
+
+
+def _layers(p0: int):
+    """(name, kind, Cout, P_in, P_out) per layer for base packing p0.
+
+    p0=16 runs every level at exactly 128 channels (no lane padding,
+    ~3x redundant taps at the top level); p0=8 runs at 64 channels
+    (2x lane padding, but half the MACs). Which wins is measured, not
+    derived — see scripts/ablate_gen_step.py.
+    """
+    assert p0 % 8 == 0 or p0 == 8, p0
+    p = [p0, p0 // 2, p0 // 4, p0 // 8]
+    return [
+        ("conv0", "s1", 8, p[0], p[0]),
+        ("conv1", "s2", 16, p[0], p[1]),
+        ("conv2", "s1", 16, p[1], p[1]),
+        ("conv3", "s2", 32, p[1], p[2]),
+        ("conv4", "s1", 32, p[2], p[2]),
+        ("conv5", "s2", 64, p[2], p[3]),
+        ("conv6", "s1", 64, p[3], p[3]),
+        ("conv7", "up", 32, p[3], p[2]),
+        ("conv9", "up", 16, p[2], p[1]),
+        ("conv11", "up", 8, p[1], p[0]),
+    ]
 
 
 @functools.lru_cache(maxsize=None)
@@ -140,7 +151,8 @@ def _conv_packed(kp, x, kind: str):
 
 
 def cost_reg_packed_apply(params, x, use_running_stats: bool = False,
-                          dtype=None, packed_input: bool = False):
+                          dtype=None, packed_input: bool = False,
+                          p0: int = 16):
     """Drop-in equivalent of `cost_reg_apply` (same params pytree, same
     output) for inputs with D % 16 == 0 and H, W % 8 == 0.
 
@@ -154,24 +166,26 @@ def cost_reg_packed_apply(params, x, use_running_stats: bool = False,
     """
     if packed_input:
         _, n0, h0, w0, _ = x.shape
-        d0 = n0 * 16
+        d0 = n0 * p0
     else:
         _, d0, h0, w0, _ = x.shape
-    assert d0 % 16 == 0 and h0 % 8 == 0 and w0 % 8 == 0, (d0, h0, w0)
+    assert d0 % max(p0, 8) == 0 and h0 % 8 == 0 and w0 % 8 == 0, \
+        (d0, h0, w0)
 
     def cast(v):
         return v.astype(dtype) if dtype is not None else v
 
-    y = cast(x) if packed_input else pack_volume(cast(x), 16)
+    y = cast(x) if packed_input else pack_volume(cast(x), p0)
     skips = {}
-    for name, kind, _, cout, p_in, p_out in _LAYERS:
+    for name, kind, cout, p_in, p_out in _layers(p0):
         p = params[name]
         kernel = p["conv"]["kernel"] if "conv" in p else p["deconv"]["kernel"]
         kp = cast(_pack_kernel(kernel, kind, p_in, p_out))
         y = _conv_packed(kp, y, kind)
         y = _abn_packed(p["bn"], y, p_out, use_running_stats, dtype)
         if kind == "up":
-            y = y + skips.pop(p_out)
+            y = y + skips.pop({"conv7": "conv4", "conv9": "conv2",
+                               "conv11": "conv0"}[name])
         if name in ("conv0", "conv2", "conv4"):
-            skips[p_out] = y
-    return unpack_volume(y, 16).astype(jnp.float32)
+            skips[name] = y
+    return unpack_volume(y, p0).astype(jnp.float32)

@@ -242,8 +242,12 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
     # fits band 16) over the wide default. A second, wide-band kernel level
     # would cost ~100 MB of HBM we don't have at DTU resolution — geometry
     # that violates the narrow band takes the exact-gather cond fallback.
+    import os as _os
+    _rb_env = _os.environ.get("MVSNERF_SWEEP_RB")  # debug/tuning override
     small_rb = _pick_row_block(hp, wp, target=8)
-    if small_rb is not None and small_rb * 2 <= warp_band:
+    if _rb_env:
+        candidates = [(int(_rb_env), warp_band)]
+    elif small_rb is not None and small_rb * 2 <= warp_band:
         candidates = [(small_rb, warp_band // 2)]
     else:
         candidates = [(_pick_row_block(hp, wp), warp_band)]

@@ -361,11 +361,19 @@ def _warp_block(xs, ys, v_ref, h, w, band, cp):
     ymin = jnp.min(jnp.where(in_y0, y0, jnp.where(in_y1, y0 + 1, h)))
     ymin = jnp.clip(ymin, 0, max(h - band, 0))
 
-    xw = jax.lax.broadcasted_iota(jnp.int32, (w, m), 0)
-    wx0 = jnp.where(in_x0, 1.0 - fx, 0.0)[None, :]
-    wx1 = jnp.where(in_x1, fx, 0.0)[None, :]
-    axw_t = (jnp.where(xw == x0[None, :], wx0, 0.0)
-             + jnp.where(xw == x0[None, :] + 1, wx1, 0.0))
+    import os as _os
+    diag = _os.environ.get("MVSNERF_SWEEP_DIAG", "")
+    if diag == "4":          # static slice: cost of the dynamic ymin path
+        ymin = 0
+
+    if diag == "2":          # skip the one-hot x build
+        axw_t = jnp.full((w, m), 0.01, jnp.float32)
+    else:
+        xw = jax.lax.broadcasted_iota(jnp.int32, (w, m), 0)
+        wx0 = jnp.where(in_x0, 1.0 - fx, 0.0)[None, :]
+        wx1 = jnp.where(in_x1, fx, 0.0)[None, :]
+        axw_t = (jnp.where(xw == x0[None, :], wx0, 0.0)
+                 + jnp.where(xw == x0[None, :] + 1, wx1, 0.0))
 
     off = y0 - ymin
     karr = jax.lax.broadcasted_iota(jnp.int32, (band, m), 0)
@@ -374,12 +382,21 @@ def _warp_block(xs, ys, v_ref, h, w, band, cp):
     ayw_t = (jnp.where(karr == off[None, :], wy0, 0.0)
              + jnp.where(karr == off[None, :] + 1, wy1, 0.0))
 
-    vband = v_ref[pl.ds(ymin, band)]                  # (band, cp, w)
-    t = jax.lax.dot_general(
-        vband.reshape(band * cp, w), axw_t,
-        (((1,), (0,)), ((), ())),
-        precision=INTERP, preferred_element_type=jnp.float32)
-    warped = jnp.sum(t.reshape(band, cp, m) * ayw_t[:, None, :], axis=0)
+    vband = v_ref[pl.ds(ymin, band)] if diag != "4" \
+        else v_ref[0:band]                            # (band, cp, w)
+    if diag == "3":          # skip the interp matmul
+        t = jnp.broadcast_to(vband.reshape(band * cp, w)[:, :1], 
+                             (band * cp, m)) * axw_t[0:1, :]
+    else:
+        t = jax.lax.dot_general(
+            vband.reshape(band * cp, w), axw_t,
+            (((1,), (0,)), ((), ())),
+            precision=INTERP, preferred_element_type=jnp.float32)
+    if diag == "1":
+        # diagnostic: tile-friendly WRONG reduce to cost the reshape
+        warped = t[:cp, :] * ayw_t[0:1, :]
+    else:
+        warped = jnp.sum(t.reshape(band, cp, m) * ayw_t[:, None, :], axis=0)
     return warped, axw_t, ayw_t, ymin
 
 
@@ -553,7 +570,8 @@ def _fused_fwd_impl(srcs_cw, refb, xs, ys, static, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cc, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # fwd blocks are independent -> let Mosaic pipeline freely
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=_auto_interpret(interpret),

@@ -109,6 +109,12 @@ def make_loss(variant):
                 volume = unpack_volume(cost, 16)[0][..., :8]
             elif variant == "no_costreg":
                 volume = cost[..., :8]
+            elif variant == "full_packed8":
+                from mvsnerf_tpu.models.costreg_packed import \
+                    cost_reg_packed_apply, unpack_volume
+                volume = cost_reg_packed_apply(
+                    params["mvsnet"]["cost_reg_2"],
+                    unpack_volume(cost, 16), p0=8)[0]
             elif variant.startswith("full_packed"):
                 from mvsnerf_tpu.models.costreg_packed import \
                     cost_reg_packed_apply

@@ -46,6 +46,13 @@ def test_packed_forward_matches_plain_running_stats():
                                rtol=1e-5)
 
 
+def test_packed_p0_8_matches_plain():
+    p, x = _setup()
+    a = cost_reg_apply(p, x)
+    b = cost_reg_packed_apply(p, x, p0=8)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+
 def test_packed_input_layout():
     p, x = _setup()
     a = cost_reg_packed_apply(p, x)
