@@ -346,57 +346,33 @@ def _warp_block(xs, ys, v_ref, h, w, band, cp):
     """Shared banded warp for one block: (cp, m) warped values + the pieces
     the backward reuses (axw_t, ayw_t, ymin)."""
     m = xs.shape[0]
-    x0f = jnp.floor(xs)
-    y0f = jnp.floor(ys)
-    fx = xs - x0f
-    fy = ys - y0f
-    x0 = jnp.clip(x0f, -2.0, w + 1.0).astype(jnp.int32)
-    y0 = jnp.clip(y0f, -2.0, h + 1.0).astype(jnp.int32)
-
-    in_x0 = (x0 >= 0) & (x0 <= w - 1)
-    in_x1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+    y0 = jnp.clip(jnp.floor(ys), -2.0, h + 1.0).astype(jnp.int32)
     in_y0 = (y0 >= 0) & (y0 <= h - 1)
     in_y1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
 
     ymin = jnp.min(jnp.where(in_y0, y0, jnp.where(in_y1, y0 + 1, h)))
     ymin = jnp.clip(ymin, 0, max(h - band, 0))
 
-    import os as _os
-    diag = _os.environ.get("MVSNERF_SWEEP_DIAG", "")
-    if diag == "4":          # static slice: cost of the dynamic ymin path
-        ymin = 0
+    # Triangle-hat interpolation matrices: weight(row i, sample j) =
+    # max(0, 1 - |i - x_j|) equals the floor/frac bilinear weights exactly
+    # (same subtractions on the same floats) and gives zeros-padding for
+    # free: rows outside the image simply don't exist, and the hat already
+    # vanishes beyond 1 px. ~40% fewer VPU ops than compare+select one-hot
+    # builds, which cost ~22 ms/step at DTU scale (measured by stubbing).
+    xw = jax.lax.broadcasted_iota(jnp.int32, (w, m), 0).astype(jnp.float32)
+    axw_t = jnp.maximum(0.0, 1.0 - jnp.abs(xw - xs[None, :]))
 
-    if diag == "2":          # skip the one-hot x build
-        axw_t = jnp.full((w, m), 0.01, jnp.float32)
-    else:
-        xw = jax.lax.broadcasted_iota(jnp.int32, (w, m), 0)
-        wx0 = jnp.where(in_x0, 1.0 - fx, 0.0)[None, :]
-        wx1 = jnp.where(in_x1, fx, 0.0)[None, :]
-        axw_t = (jnp.where(xw == x0[None, :], wx0, 0.0)
-                 + jnp.where(xw == x0[None, :] + 1, wx1, 0.0))
+    karr = jax.lax.broadcasted_iota(jnp.int32, (band, m), 0).astype(
+        jnp.float32)
+    ayw_t = jnp.maximum(
+        0.0, 1.0 - jnp.abs(karr - (ys - ymin.astype(jnp.float32))[None, :]))
 
-    off = y0 - ymin
-    karr = jax.lax.broadcasted_iota(jnp.int32, (band, m), 0)
-    wy0 = jnp.where(in_y0, 1.0 - fy, 0.0)[None, :]
-    wy1 = jnp.where(in_y1, fy, 0.0)[None, :]
-    ayw_t = (jnp.where(karr == off[None, :], wy0, 0.0)
-             + jnp.where(karr == off[None, :] + 1, wy1, 0.0))
-
-    vband = v_ref[pl.ds(ymin, band)] if diag != "4" \
-        else v_ref[0:band]                            # (band, cp, w)
-    if diag == "3":          # skip the interp matmul
-        t = jnp.broadcast_to(vband.reshape(band * cp, w)[:, :1], 
-                             (band * cp, m)) * axw_t[0:1, :]
-    else:
-        t = jax.lax.dot_general(
-            vband.reshape(band * cp, w), axw_t,
-            (((1,), (0,)), ((), ())),
-            precision=INTERP, preferred_element_type=jnp.float32)
-    if diag == "1":
-        # diagnostic: tile-friendly WRONG reduce to cost the reshape
-        warped = t[:cp, :] * ayw_t[0:1, :]
-    else:
-        warped = jnp.sum(t.reshape(band, cp, m) * ayw_t[:, None, :], axis=0)
+    vband = v_ref[pl.ds(ymin, band)]                  # (band, cp, w)
+    t = jax.lax.dot_general(
+        vband.reshape(band * cp, w), axw_t,
+        (((1,), (0,)), ((), ())),
+        precision=INTERP, preferred_element_type=jnp.float32)
+    warped = jnp.sum(t.reshape(band, cp, m) * ayw_t[:, None, :], axis=0)
     return warped, axw_t, ayw_t, ymin
 
 
