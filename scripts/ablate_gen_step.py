@@ -109,6 +109,27 @@ def make_loss(variant):
                 volume = unpack_volume(cost, 16)[0][..., :8]
             elif variant == "no_costreg":
                 volume = cost[..., :8]
+            elif variant == "full_packed_nowgrad":
+                from mvsnerf_tpu.models.costreg_packed import \
+                    cost_reg_packed_apply
+                volume = cost_reg_packed_apply(
+                    jax.lax.stop_gradient(params["mvsnet"]["cost_reg_2"]),
+                    cost, packed_input=True)[0]
+            elif variant == "full_packed_detcost":
+                from mvsnerf_tpu.models.costreg_packed import \
+                    cost_reg_packed_apply
+                volume = cost_reg_packed_apply(
+                    params["mvsnet"]["cost_reg_2"],
+                    jax.lax.stop_gradient(cost), packed_input=True)[0]
+            elif variant == "full_packed_fwdonly":
+                from mvsnerf_tpu.models.costreg_packed import \
+                    cost_reg_packed_apply
+                volume = jax.lax.stop_gradient(cost_reg_packed_apply(
+                    jax.lax.stop_gradient(params["mvsnet"]["cost_reg_2"]),
+                    cost, packed_input=True))[0] + 0.0 * cost[
+                        0, 0, 0, 0, :8] + 0.0 * jnp.sum(
+                        params["mvsnet"]["cost_reg_2"]["conv0"]["conv"][
+                            "kernel"])
             elif variant == "full_packed8":
                 from mvsnerf_tpu.models.costreg_packed import \
                     cost_reg_packed_apply, unpack_volume

@@ -1,9 +1,12 @@
-"""Profile the fine-tuning step components on the real TPU.
+"""Profile the fine-tuning step components on the real TPU, with the
+production fast_volume_grad banded path (pass --naive for the XLA
+gather/scatter baseline).
 
 Times: render fwd | fwd+bwd wrt mlp only | fwd+bwd wrt mlp+volume |
 full Adam step | fused-pallas render fwd.
 """
 
+import sys
 import time
 
 import numpy as np
@@ -43,10 +46,16 @@ pts_ndc = get_ndc_coordinate(jnp.eye(4), intr, pts, inv_scale,
 target = jnp.asarray(rng.uniform(0, 1, (N_RAYS, 3)).astype(np.float32))
 
 
+from mvsnerf_tpu.ops.volume_grad import volume_band_width
+
+FAST = "--naive" not in sys.argv
+
+
 def render(mlp_p, vol):
     return render_rays(mlp_p, vol, pts, pts_ndc, z_vals, rays_d,
                        w2c_ref=jnp.eye(4), w2cs=w2cs, intrinsics=intrs,
-                       imgs=imgs)["rgb"]
+                       imgs=imgs, fast_volume_grad=FAST,
+                       volume_band_k=volume_band_width(D, N_SAMPLES))["rgb"]
 
 
 def timeit(name, fn, *args, iters=30):
@@ -102,7 +111,7 @@ def fused(vol):
     feats = gen_pts_feats(vol, pts_ndc, pts, w2cs, intrs, imgs)
     dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     return fused_render_v0(wl, pts_ndc, feats, dirs, z_vals,
-                           rays_per_tile=256)["rgb"]
+                           rays_per_tile=64)["rgb"]
 
 timeit("fused pallas render fwd", jax.jit(fused), volume)
 
