@@ -62,8 +62,11 @@ class FinetuneSystem:
         self.net_type = args.net_type
         self.pad = args.pad
 
-        # pretrained weights
-        if args.ckpt and os.path.exists(args.ckpt):
+        # pretrained weights (.msgpack native snapshots are NOT loaded
+        # here — callers restore() them after construction, e.g.
+        # render_video.py)
+        if args.ckpt and os.path.exists(args.ckpt) \
+                and not args.ckpt.endswith(".msgpack"):
             ck = load_reference_checkpoint(args.ckpt, args.net_type)
             self.mlp = ck["mlp"]
             self.mvsnet = ck["mvsnet"]
