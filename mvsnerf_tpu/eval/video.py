@@ -36,7 +36,15 @@ def make_path(kind: str, dataset=None, n_frames: int = 60, **kw):
                                   kw.get("world_center", np.zeros(3)))
     if kind == "interp":
         assert dataset is not None
-        return gen_render_path(dataset.load_poses_all(), n_frames)
+        poses = np.asarray(dataset.load_poses_all())
+        # gen_render_path emits (len-1) * (n_frames//3) frames; the
+        # reference feeds it small hand-picked view sets
+        # (renderer_video.ipynb cell 10). Interpolate through 4 evenly
+        # spaced key poses so the total stays ~n_frames regardless of
+        # dataset size.
+        if len(poses) > 4:
+            poses = poses[np.linspace(0, len(poses) - 1, 4).astype(int)]
+        return gen_render_path(poses, n_frames)
     raise ValueError(f"unknown path kind {kind}")
 
 
