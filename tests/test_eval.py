@@ -67,6 +67,24 @@ def test_render_paths():
     assert path.shape == (8, 3, 4)
 
 
+def test_interp_path_frame_cap():
+    """make_path('interp') must stay ~n_frames even for many-view datasets
+    (gen_render_path emits (n_poses-1)*(n_frames//3) frames otherwise —
+    a 49-view dataset silently produced 960 frames)."""
+    from mvsnerf_tpu.eval.video import make_path
+
+    class _DS:
+        def load_poses_all(self):
+            poses = np.stack([np.eye(4, dtype=np.float32)] * 49)
+            for i in range(49):
+                poses[i, :3, 3] = [i * 0.1, 0, 0]
+            return poses
+
+    poses = make_path("interp", dataset=_DS(), n_frames=60)
+    # 4 key poses -> 4 loop-closing segments x (60//3) = 80
+    assert len(poses) <= 80, len(poses)
+
+
 def test_video_rendering(tmp_path):
     from mvsnerf_tpu.eval.video import make_path, render_video
     from mvsnerf_tpu.train import FinetuneSystem
