@@ -78,4 +78,8 @@ def render_video(system, poses, h: int, w: int, focal, near_far,
         # no ffmpeg plugin in this environment — fall back to GIF
         out_path = os.path.splitext(out_path)[0] + ".gif"
         imageio.mimwrite(out_path, frames, duration=1000.0 / fps)
+    render_video.last_path = out_path
     return frames
+
+
+render_video.last_path = None

@@ -37,9 +37,10 @@ def main():
     focal = train_ds.focal if hasattr(train_ds, "focal") else None
     near_far = getattr(train_ds, "near_far", [2.0, 6.0])
     out = os.path.join("results", f"{args.expname or 'video'}.mp4")
+    from mvsnerf_tpu.eval import video as video_mod
     render_video(system, poses, h, w, focal, near_far, out, fps=20,
                  chunk=args.chunk * 8, with_depth_panel=True)
-    print("wrote", out)
+    print("wrote", video_mod.render_video.last_path or out)
 
 
 if __name__ == "__main__":
