@@ -54,6 +54,12 @@ def config_parser(cmd=None):
                              "level runs at 128 lanes (TPU layout "
                              "optimization, models/costreg_packed.py); "
                              "'auto' = packed when the shape conforms")
+    parser.add_argument("--lpips_weights", type=str,
+                        default="lpips_vgg.npz",
+                        help="path to converted lpips-VGG weights .npz "
+                             "(scripts/convert_lpips_weights.py); when the "
+                             "file exists, evaluate.py reports LPIPS like "
+                             "renderer.ipynb cell 11")
 
     # loader options
     parser.add_argument("--batch_size", type=int, default=1024)

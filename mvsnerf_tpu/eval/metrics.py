@@ -161,8 +161,10 @@ class LPIPS:
         total = 0.0
         for j, tap in enumerate(_LPIPS_TAPS):
             a, b = fa[tap], fb[tap]
-            a = a / jnp.sqrt(jnp.sum(a ** 2, -1, keepdims=True) + 1e-10)
-            b = b / jnp.sqrt(jnp.sum(b ** 2, -1, keepdims=True) + 1e-10)
+            # lpips.normalize_tensor: x / (||x||_2 + eps), eps OUTSIDE the
+            # sqrt (lpips/__init__.py normalize_tensor, eps=1e-10)
+            a = a / (jnp.sqrt(jnp.sum(a ** 2, -1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b ** 2, -1, keepdims=True)) + 1e-10)
             d = (a - b) ** 2
             total = total + jnp.mean(jnp.sum(d * self.lins[j], -1))
         return total

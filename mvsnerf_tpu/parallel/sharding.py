@@ -49,29 +49,40 @@ def shard_rays_render(render_fn, mesh: Mesh, n_ray_args: int,
 
 
 def data_parallel_step(loss_fn, optimizer, mesh: Mesh,
-                      axis_name: str = RAY_AXIS):
+                      axis_name=RAY_AXIS):
     """Build a jitted DP train step: the ray batch is sharded over the mesh,
-    per-shard grads are psum-averaged over ICI, params/opt-state replicated.
+    per-shard grads are psum-averaged (ICI within a rays-group, DCN across
+    the data axis on a 2-D multi-host mesh), params/opt-state replicated.
 
     Args:
         loss_fn: fn(params, batch, key) -> scalar loss (per-shard mean).
         optimizer: an optax GradientTransformation.
+        axis_name: one mesh axis name, or a tuple of axis names (e.g.
+            ("data", "rays") for a make_mesh_2d multi-host mesh) — the
+            batch's leading axis is sharded over all of them.
 
     Returns:
         step(params, opt_state, batch, key) -> (params, opt_state, loss)
     """
+    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    batch_spec = P(axes if len(axes) > 1 else axes[0])
+
     def sharded_grads(params, batch, key):
-        # distinct jitter per shard; rays are already disjoint
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        # distinct jitter per shard; rays are already disjoint. Flat shard
+        # index over all sharded axes (static mesh sizes).
+        idx = 0
+        for ax in axes:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        key = jax.random.fold_in(key, idx)
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
-        loss = jax.lax.pmean(loss, axis_name)
-        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axes)
+        grads = jax.lax.pmean(grads, axes)
         return loss, grads
 
     def step(params, opt_state, batch, key):
         fn = shard_map(
             sharded_grads, mesh=mesh,
-            in_specs=(P(), jax.tree.map(lambda _: P(axis_name), batch), P()),
+            in_specs=(P(), jax.tree.map(lambda _: batch_spec, batch), P()),
             out_specs=(P(), P()), check_vma=False,
         )
         loss, grads = fn(params, batch, key)

@@ -219,7 +219,12 @@ class FinetuneSystem:
     # -------------------------------------------------------------- train --
 
     def fit(self, num_steps: int = 10000, log_every: int = 100,
-            logger=None, ckpt_dir: str | None = None, seed: int = 0):
+            logger=None, ckpt_dir: str | None = None, seed: int = 0,
+            start_step: int = 0, val_every: int = 500):
+        """Train for steps [start_step, num_steps). Every `val_every` steps a
+        held-out view is rendered and logged (the reference validates during
+        fine-tuning with val_check_interval=500,
+        train_mvs_nerf_finetuning_pl.py:319); pass val_every=0 to disable."""
         args = self.args
         from .common import Prefetcher
         it = Prefetcher(RayBatchIterator(
@@ -228,7 +233,7 @@ class FinetuneSystem:
             args.batch_size, seed=seed))
         key = jax.random.PRNGKey(seed)
         losses = []
-        for step_i in range(num_steps):
+        for step_i in range(start_step, num_steps):
             if args.use_density_volume and step_i % 200 == 0:
                 self.update_density_volume()
             batch = next(it)
@@ -243,12 +248,37 @@ class FinetuneSystem:
                     "train/loss": mse,
                     "train/PSNR": -10 * np.log10(max(mse, 1e-10)),
                 })
+            if val_every and logger is not None and step_i > start_step \
+                    and step_i % val_every == 0:
+                self.validate(step_i, logger)
             if ckpt_dir and (step_i + 1) % 5000 == 0:
                 self.save(ckpt_dir, step_i + 1)
         it.close()
         if ckpt_dir:
             self.save(ckpt_dir, num_steps)
         return losses
+
+    def validate(self, step_i: int, logger, chunk: int | None = None):
+        """Render one held-out view (cycling through the val split) and log
+        val/PSNR + an [gt | pred | depth] panel — the mid-training quality
+        signal the reference's validation_step provides."""
+        if self.val_dataset is None or len(self.val_dataset) == 0:
+            return None
+        from ..eval.metrics import psnr
+        from ..utils.vis import panel, visualize_depth
+        self._val_counter = getattr(self, "_val_counter", -1) + 1
+        idx = self._val_counter % len(self.val_dataset)
+        sample = self.val_dataset[idx]
+        gt = np.asarray(sample["rgbs"])
+        h, w = gt.shape[:2]
+        out = self.render_image(sample["rays"],
+                                chunk=chunk or self.args.chunk * 8)
+        pred = np.clip(np.asarray(out["rgb"]).reshape(h, w, 3), 0, 1)
+        val_psnr = float(psnr(pred, gt))
+        logger.log_scalars(step_i, {"val/PSNR": val_psnr})
+        dvis, _ = visualize_depth(np.asarray(out["depth"]).reshape(h, w))
+        logger.save_panel(step_i, f"val_{idx:02d}", panel([gt, pred, dvis]))
+        return val_psnr
 
     # --------------------------------------------------------- rendering ---
 
@@ -275,11 +305,22 @@ class FinetuneSystem:
                  "global_step": step}
         return save_checkpoint(ckpt_dir, state, step)
 
-    def restore(self, ckpt_dir: str):
-        latest = latest_checkpoint(ckpt_dir)
-        if latest is None:
-            return 0
-        step, path = latest
+    def restore(self, ckpt_path_or_dir: str, strict: bool = False):
+        """Load a native snapshot. A `.msgpack` FILE path loads exactly that
+        file; a directory loads its newest `ckpt_*` snapshot. Returns the
+        restored global step, 0 if nothing was found (raises instead when
+        `strict`, so callers like render_video.py never silently render from
+        random weights)."""
+        if os.path.isfile(ckpt_path_or_dir):
+            path = ckpt_path_or_dir
+        else:
+            latest = latest_checkpoint(ckpt_path_or_dir)
+            if latest is None:
+                if strict:
+                    raise FileNotFoundError(
+                        f"no ckpt_*.msgpack snapshot in {ckpt_path_or_dir!r}")
+                return 0
+            _, path = latest
         state = load_checkpoint(path, {
             "params": self.params, "opt_state": self.opt_state,
             "global_step": 0})

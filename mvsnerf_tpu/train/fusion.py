@@ -266,7 +266,13 @@ class FusionFinetuneSystem:
         self.density_volume = sigma.reshape(d, hp, wp, 1)
 
     def fit(self, num_steps: int = 10000, logger=None,
-            ckpt_dir: str | None = None, seed: int = 0):
+            ckpt_dir: str | None = None, seed: int = 0,
+            start_step: int = 0, ckpt_every: int = 5000,
+            val_every: int = 500):
+        """Train with periodic snapshots every `ckpt_every` steps (the
+        reference checkpoints during training,
+        train_mvs_nerf_finetuning_pl.py:279-291) and a held-out render every
+        `val_every` steps when a val dataset and logger are present."""
         args = self.args
         from .common import Prefetcher
         it = Prefetcher(RayBatchIterator(
@@ -275,7 +281,7 @@ class FusionFinetuneSystem:
             args.batch_size, seed=seed))
         key = jax.random.PRNGKey(seed)
         losses = []
-        for step_i in range(num_steps):
+        for step_i in range(start_step, num_steps):
             if args.N_importance and step_i % 500 == 0:
                 self.update_density_volume()
             batch = next(it)
@@ -290,11 +296,60 @@ class FusionFinetuneSystem:
                 logger.log_scalars(step_i, {
                     "train/loss": mse,
                     "train/PSNR": -10 * np.log10(max(mse, 1e-10))})
+            if val_every and logger is not None and step_i > start_step \
+                    and step_i % val_every == 0:
+                self.validate(step_i, logger)
+            if ckpt_dir and (step_i + 1) % ckpt_every == 0:
+                self.save(ckpt_dir, step_i + 1)
+        it.close()
         if ckpt_dir:
-            save_checkpoint(ckpt_dir, {"params": self.params,
-                                       "opt_state": self.opt_state,
-                                       "global_step": num_steps}, num_steps)
+            self.save(ckpt_dir, num_steps)
         return losses
+
+    def validate(self, step_i: int, logger, chunk: int | None = None):
+        """Render one held-out view (cycling) and log val/PSNR + a panel."""
+        if self.val_dataset is None or len(self.val_dataset) == 0:
+            return None
+        from ..eval.metrics import psnr
+        from ..utils.vis import panel, visualize_depth
+        self._val_counter = getattr(self, "_val_counter", -1) + 1
+        idx = self._val_counter % len(self.val_dataset)
+        sample = self.val_dataset[idx]
+        gt = np.asarray(sample["rgbs"])
+        h, w = gt.shape[:2]
+        out = self.render_image(sample["rays"],
+                                chunk=chunk or self.args.chunk * 8)
+        pred = np.clip(np.asarray(out["rgb"]).reshape(h, w, 3), 0, 1)
+        val_psnr = float(psnr(pred, gt))
+        logger.log_scalars(step_i, {"val/PSNR": val_psnr})
+        dvis, _ = visualize_depth(np.asarray(out["depth"]).reshape(h, w))
+        logger.save_panel(step_i, f"val_{idx:02d}", panel([gt, pred, dvis]))
+        return val_psnr
+
+    def save(self, ckpt_dir: str, step: int):
+        return save_checkpoint(ckpt_dir, {"params": self.params,
+                                          "opt_state": self.opt_state,
+                                          "global_step": step}, step)
+
+    def restore(self, ckpt_path_or_dir: str, strict: bool = False) -> int:
+        """Load a native snapshot (exact .msgpack file or newest in a dir)."""
+        from ..io.checkpoint import latest_checkpoint, load_checkpoint
+        if os.path.isfile(ckpt_path_or_dir):
+            path = ckpt_path_or_dir
+        else:
+            latest = latest_checkpoint(ckpt_path_or_dir)
+            if latest is None:
+                if strict:
+                    raise FileNotFoundError(
+                        f"no ckpt_*.msgpack snapshot in {ckpt_path_or_dir!r}")
+                return 0
+            _, path = latest
+        state = load_checkpoint(path, {"params": self.params,
+                                       "opt_state": self.opt_state,
+                                       "global_step": 0})
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        return state["global_step"]
 
     def render_image(self, rays, chunk: int = 8192):
         params = self.params

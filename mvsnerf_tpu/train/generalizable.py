@@ -62,13 +62,27 @@ class GeneralizableSystem:
         self.global_step = 0
 
     def _make_step(self, img_hw, n_rays, n_samples, steps_total):
-        """Build (and cache) the jitted train step for a static image size."""
+        """Build (and cache) the jitted train step for a static image size.
+
+        DP semantics: `n_rays` is the GLOBAL batch (the reference's 1024
+        rays/step, train_mvs_nerf_pl.py:117). With a mesh, each shard draws
+        n_rays/mesh.size rays with a device-folded key (independent pixel
+        draws per shard) and gradients are pmean-ed, so the effective batch
+        and the lr schedule are invariant to device count.
+        """
         cache_key = (img_hw, n_rays, n_samples)
         if cache_key in self._step_cache:
             return self._step_cache[cache_key]
         args = self.args
         H, W = img_hw
         inv_scale = jnp.asarray([W - 1.0, H - 1.0])
+
+        mesh_size = 1 if self.mesh is None else self.mesh.size
+        if n_rays % mesh_size:
+            raise ValueError(
+                f"global ray batch {n_rays} not divisible by mesh size "
+                f"{mesh_size}")
+        n_rays = n_rays // mesh_size  # per-shard ray count
 
         schedule = make_lr_schedule(args.lrate, "cosine",
                                     num_steps=max(steps_total, 1),
@@ -287,11 +301,19 @@ class GeneralizableSystem:
                  "global_step": self.global_step}
         return save_checkpoint(ckpt_dir, state, self.global_step)
 
-    def restore(self, ckpt_dir: str) -> int:
-        latest = latest_checkpoint(ckpt_dir)
-        if latest is None:
-            return 0
-        step, path = latest
+    def restore(self, ckpt_path_or_dir: str, strict: bool = False) -> int:
+        """Load a native snapshot: an exact `.msgpack` file, or the newest
+        `ckpt_*` snapshot of a directory (0 / FileNotFoundError when none)."""
+        if os.path.isfile(ckpt_path_or_dir):
+            path = ckpt_path_or_dir
+        else:
+            latest = latest_checkpoint(ckpt_path_or_dir)
+            if latest is None:
+                if strict:
+                    raise FileNotFoundError(
+                        f"no ckpt_*.msgpack snapshot in {ckpt_path_or_dir!r}")
+                return 0
+            _, path = latest
         state = load_checkpoint(path, {"params": self.params,
                                        "opt_state": self.opt_state,
                                        "global_step": 0})

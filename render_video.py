@@ -24,10 +24,12 @@ def main():
     train_ds = dataset_cls(args, "train")
 
     system = FinetuneSystem(args, train_ds)
-    ckpt_dir = os.path.dirname(args.ckpt) if args.ckpt and \
-        args.ckpt.endswith(".msgpack") else None
-    if ckpt_dir:
-        system.restore(ckpt_dir)
+    if args.ckpt and args.ckpt.endswith(".msgpack"):
+        # load EXACTLY the named snapshot; error loudly rather than silently
+        # rendering from random weights (FinetuneSystem.__init__ skips
+        # .msgpack checkpoints on purpose)
+        step = system.restore(args.ckpt, strict=True)
+        print(f"restored {args.ckpt} (step {step})")
 
     kind = {"blender": "nerf", "llff": "spheric", "dtu_ft": "interp"}.get(
         args.dataset_name, "interp")

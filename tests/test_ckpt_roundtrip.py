@@ -49,3 +49,34 @@ def test_exported_tar_loads_in_torch(tmp_path):
     for k, v in ref["network_fn_state_dict"].items():
         np.testing.assert_array_equal(ours["network_fn_state_dict"][k],
                                       v.numpy())
+
+
+def test_restore_exact_file_and_strict(tmp_path):
+    """restore() loads EXACTLY a named .msgpack file (render_video.py must
+    never silently fall back to the directory's latest snapshot) and raises
+    in strict mode when nothing exists (ADVICE round-1 medium finding)."""
+    import argparse
+    import optax
+    import pytest
+    from mvsnerf_tpu.train.generalizable import GeneralizableSystem
+
+    args = argparse.Namespace(ckpt="", net_type="v0", netdepth=6,
+                              netwidth=128)
+    system = GeneralizableSystem(args)
+    system.opt_state = optax.adam(1e-3).init(system.params)
+
+    d = str(tmp_path)
+    system.global_step = 5
+    path5 = system.save(d)
+    system.params = jax.tree.map(lambda a: a + 1.0, system.params)
+    system.global_step = 9
+    system.save(d)
+
+    # directory -> newest snapshot
+    assert system.restore(d) == 9
+    # exact file -> that file, not the newest
+    assert system.restore(path5) == 5
+    # strict + empty dir -> loud error
+    with pytest.raises(FileNotFoundError):
+        system.restore(str(tmp_path / "empty"), strict=True)
+    assert system.restore(str(tmp_path / "empty")) == 0

@@ -30,7 +30,16 @@ def main():
     system = FinetuneSystem(args, train_ds, val_ds)
     ckpt_dir = os.path.join(log_dir, "ckpts")
     n_steps = args.max_steps or 10000
-    system.fit(num_steps=n_steps, logger=logger, ckpt_dir=ckpt_dir)
+    # resume-by-default from this experiment's own snapshots (native ckpts
+    # include optimizer state; the reference restarts at step 0 instead)
+    start = system.restore(ckpt_dir)
+    if start:
+        print(f"resumed from {ckpt_dir} at step {start}")
+    if start >= n_steps:
+        print(f"checkpoint already at step {start} >= {n_steps}; "
+              "skipping training")
+    system.fit(num_steps=n_steps, logger=logger, ckpt_dir=ckpt_dir,
+               start_step=start)
 
     # validate on held-out views
     import numpy as np

@@ -24,8 +24,12 @@ def main():
     val_ds = dataset_cls(args, "val")
 
     system = FusionFinetuneSystem(args, train_ds, val_ds)
+    ckpt_dir = os.path.join(log_dir, "ckpts")
+    start = system.restore(ckpt_dir)
+    if start:
+        print(f"resumed from {ckpt_dir} at step {start}")
     system.fit(num_steps=args.max_steps or 10000, logger=logger,
-               ckpt_dir=os.path.join(log_dir, "ckpts"))
+               ckpt_dir=ckpt_dir, start_step=start)
     logger.flush()
 
 
