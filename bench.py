@@ -1,18 +1,26 @@
-"""Benchmark: per-scene fine-tuning training throughput (rays/sec/chip).
+"""Benchmarks for the three BASELINE headline workloads, one JSON line each:
 
-Anchor: the reference's only published wall-clock figure for this workload —
-10k fine-tuning iterations at 1024 rays/batch in ~15 min on one RTX 2080 Ti
-(/root/reference/README.md:135, opt.py:22), i.e. 10,240,000 rays / 900 s
-= 11,378 rays/s. This benchmark runs the same training configuration
-(batch 1024 rays x 128 samples, Adam, MLP + trainable encoding volume, MSE
-loss) on one TPU chip and reports steady-state rays/sec.
+1. finetune_train_rays_per_sec_per_chip — per-scene fine-tuning step
+   (BASELINE config 3). Anchor: 10k iterations x 1024 rays in ~15 min on one
+   RTX 2080 Ti (/root/reference/README.md:135, opt.py:22) = 11,378 rays/s.
+2. generalizable_train_step_ms — MVSNet + 1024-ray render + backward + Adam
+   at DTU resolution (config 4). Anchor: 6 epochs DTU in ~30 h over 181,104
+   steps (README.md:61-62; ckpt global_step) = 596.6 ms/step.
+3. render_rays_per_sec_per_chip — full-image 640x512 no-finetune render at
+   N_samples=128 (configs 1-2, renderer.ipynb chunk loop). The reference
+   publishes no render throughput; the anchor is DERIVED from the fine-tune
+   anchor as forward-only ~= 3x the fwd+bwd step throughput (backward ~2x
+   forward) = 34,133 rays/s. Re-measure on a 2080 Ti to firm up.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Each metric reports the BEST of 3 timing windows as `value` (dispatch-tunnel
+hiccups only ever slow a window down) plus all window values and the median,
+so numbers stay comparable across runs either way.
 """
 
 import json
 from functools import partial
 import os
+import statistics
 import time
 
 import numpy as np
@@ -21,7 +29,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-BASELINE_RAYS_PER_SEC = 10_240_000 / 900.0  # RTX 2080 Ti, README.md:135
+FINETUNE_BASELINE_RAYS_PER_SEC = 10_240_000 / 900.0   # README.md:135
+GENERALIZABLE_BASELINE_STEP_MS = 30 * 3600 * 1e3 / 181_104  # README.md:61
+RENDER_BASELINE_RAYS_PER_SEC = FINETUNE_BASELINE_RAYS_PER_SEC * 3  # derived
 
 CKPT = "/root/reference/ckpts/mvsnerf-v0.tar"
 
@@ -31,26 +41,32 @@ N_RAYS = 1024            # opt.py:22 default batch_size
 N_SAMPLES = 128          # opt.py:64 default
 
 
-def main():
-    from mvsnerf_tpu.utils.profiling import enable_compilation_cache
-    enable_compilation_cache()
-    from mvsnerf_tpu.models import init_mlp, init_mvsnet, mvsnet_apply
-    from mvsnerf_tpu.render import render_rays
-    from mvsnerf_tpu.ops import get_ndc_coordinate, rays_from_pixels
+def _windows(fn, n_windows=3, iters=50):
+    """Run `fn(i)` iters times per window; return per-window seconds."""
+    out = []
+    for rep in range(n_windows):
+        t0 = time.perf_counter()
+        last = None
+        for i in range(iters):
+            last = fn(rep * iters + i)
+        jax.block_until_ready(last)
+        out.append(time.perf_counter() - t0)
+    return out
 
-    rng = np.random.default_rng(0)
 
-    # --- parameters: imported pretrained weights when available ------------
-    if os.path.exists(CKPT):
-        from mvsnerf_tpu.io import load_reference_checkpoint
-        ck = load_reference_checkpoint(CKPT)
-        mlp, mvs = ck["mlp"], ck["mvsnet"]
-    else:
-        mlp = init_mlp(jax.random.PRNGKey(0), "v0")
-        mvs = init_mvsnet(jax.random.PRNGKey(1))
+def _emit(metric, value, unit, vs_baseline, windows_values):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": unit,
+        "vs_baseline": round(vs_baseline, 3),
+        "windows": [round(v, 1) for v in windows_values],
+        "median": round(statistics.median(windows_values), 1),
+    }), flush=True)
 
-    # --- synthetic 3-view scene at the fine-tune resolution ----------------
-    v = 3
+
+def make_scene(rng, v=3):
+    """Synthetic DTU-like 3-view scene at fine-tune resolution."""
     imgs = jnp.asarray(rng.uniform(0, 1, (v, H, W, 3)).astype(np.float32))
     intr = np.array([[722.0, 0, W / 2], [0, 722.0, H / 2], [0, 0, 1]],
                     np.float32)
@@ -71,23 +87,53 @@ def main():
         p = np.eye(4, dtype=np.float32)
         p[:3] = intr_s4 @ w2c[:3]
         projs.append((p @ ref_inv)[:3])
-    w2cs = jnp.asarray(np.stack(w2cs))
-    projs = jnp.asarray(np.stack(projs))
-    intrs = jnp.broadcast_to(jnp.asarray(intr), (v, 3, 3))
-    near_far = jnp.asarray([2.125, 4.525])  # data/dtu_ft.py:33
+    return (imgs, jnp.asarray(intr), jnp.asarray(np.stack(w2cs)),
+            jnp.asarray(np.stack(projs)),
+            jnp.asarray([2.125, 4.525]))  # data/dtu_ft.py:33
 
-    # --- encoding volume (built once, as in fine-tuning init_volume) -------
-    build_volume = jax.jit(lambda p, im: mvsnet_apply(
-        p, im, projs, near_far, pad=PAD)[0])
-    volume = build_volume(mvs, imgs)
+
+def bench_finetune_and_render():
+    from mvsnerf_tpu.models import init_mlp, init_mvsnet, mvsnet_apply
+    from mvsnerf_tpu.render import render_rays
+    from mvsnerf_tpu.ops import get_ndc_coordinate, rays_from_pixels
+
+    rng = np.random.default_rng(0)
+    if os.path.exists(CKPT):
+        from mvsnerf_tpu.io import load_reference_checkpoint
+        ck = load_reference_checkpoint(CKPT)
+        mlp, mvs = ck["mlp"], ck["mvsnet"]
+    else:
+        mlp = init_mlp(jax.random.PRNGKey(0), "v0")
+        mvs = init_mvsnet(jax.random.PRNGKey(1))
+
+    imgs, intr, w2cs, projs, near_far = make_scene(rng)
+    v = imgs.shape[0]
+    intrs = jnp.broadcast_to(intr, (v, 3, 3))
+
+    # encoding volume (built once, as in fine-tuning init_volume)
+    volume = jax.jit(lambda p, im: mvsnet_apply(
+        p, im, projs, near_far, pad=PAD)[0])(mvs, imgs)
     jax.block_until_ready(volume)
 
     params = {"mlp": mlp, "volume": volume}
     c2w_t = jnp.linalg.inv(w2cs[0])
     inv_scale = jnp.asarray([W - 1.0, H - 1.0])
 
+    def sample_render(params, xs, ys, z_vals):
+        n = xs.shape[0]
+        rays_o, rays_d = rays_from_pixels(xs, ys, intr, c2w_t)
+        rays_o = jnp.broadcast_to(rays_o, (n, 3))
+        pts_world = rays_o[:, None] + z_vals[..., None] * rays_d[:, None]
+        pts_ndc = get_ndc_coordinate(w2cs[0], intr, pts_world,
+                                     inv_scale, near=near_far[0],
+                                     far=near_far[1], pad=PAD)
+        return render_rays(params["mlp"], params["volume"], pts_world,
+                           pts_ndc, z_vals, rays_d, w2c_ref=w2cs[0],
+                           w2cs=w2cs, intrinsics=intrs, imgs=imgs,
+                           fast_volume_grad=True, volume_band_k=4)
+
+    # ---- fine-tune train step (config 3) --------------------------------
     def loss_fn(params, xs, ys, target, key):
-        rays_o, rays_d = rays_from_pixels(xs, ys, jnp.asarray(intr), c2w_t)
         t = jnp.linspace(0.0, 1.0, N_SAMPLES)
         z = near_far[0] * (1 - t) + near_far[1] * t
         z_vals = jnp.broadcast_to(z, (N_RAYS, N_SAMPLES))
@@ -96,14 +142,7 @@ def main():
         lower = jnp.concatenate([z_vals[:, :1], mids], -1)
         z_vals = lower + (upper - lower) * jax.random.uniform(
             key, z_vals.shape)
-        pts_world = rays_o[None, None] + z_vals[..., None] * rays_d[:, None]
-        pts_ndc = get_ndc_coordinate(w2cs[0], jnp.asarray(intr), pts_world,
-                                     inv_scale, near=near_far[0],
-                                     far=near_far[1], pad=PAD)
-        out = render_rays(params["mlp"], params["volume"], pts_world,
-                          pts_ndc, z_vals, rays_d, w2c_ref=w2cs[0],
-                          w2cs=w2cs, intrinsics=intrs, imgs=imgs,
-                          fast_volume_grad=True, volume_band_k=4)
+        out = sample_render(params, xs, ys, z_vals)
         return jnp.mean((out["rgb"] - target) ** 2)
 
     opt = optax.adam(5e-4)
@@ -120,31 +159,101 @@ def main():
     ys = jnp.asarray(rng.uniform(0, H - 1, N_RAYS).astype(np.float32))
     target = jnp.asarray(rng.uniform(0, 1, (N_RAYS, 3)).astype(np.float32))
 
-    # warmup / compile
-    for i in range(3):
-        params, opt_state, loss = step(params, opt_state, xs, ys, target,
-                                       jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
+    state = [params, opt_state]
 
-    # best of 3 windows: dispatch-tunnel hiccups only ever slow a window
-    # down, so max is the steady-state number
-    n_iters, best_dt = 50, float("inf")
-    for rep in range(3):
-        t0 = time.perf_counter()
-        for i in range(n_iters):
-            params, opt_state, loss = step(
-                params, opt_state, xs, ys, target,
-                jax.random.fold_in(key, 100 + rep * n_iters + i))
-        jax.block_until_ready(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    def one_step(i):
+        state[0], state[1], loss = step(state[0], state[1], xs, ys, target,
+                                        jax.random.fold_in(key, i))
+        return loss
 
-    rays_per_sec = N_RAYS * n_iters / best_dt
-    print(json.dumps({
-        "metric": "finetune_train_rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-    }))
+    for i in range(3):          # warmup / compile
+        one_step(i)
+    jax.block_until_ready(state[0])
+
+    n_iters = 50
+    win = _windows(one_step, n_windows=3, iters=n_iters)
+    rates = [N_RAYS * n_iters / dt for dt in win]
+    _emit("finetune_train_rays_per_sec_per_chip", max(rates), "rays/s",
+          max(rates) / FINETUNE_BASELINE_RAYS_PER_SEC, rates)
+
+    # ---- full-image render at 640x512 (configs 1-2) ---------------------
+    params = state[0]
+    chunk = 16384
+    t = jnp.linspace(0.0, 1.0, N_SAMPLES)
+    z_row = near_far[0] * (1 - t) + near_far[1] * t
+
+    @jax.jit
+    def render_chunk(params, xs, ys):
+        z_vals = jnp.broadcast_to(z_row, (xs.shape[0], N_SAMPLES))
+        out = sample_render(params, xs, ys, z_vals)
+        return out["rgb"], out["depth"]
+
+    gy, gx = np.mgrid[0:H, 0:W].astype(np.float32)
+    xs_all = jnp.asarray(gx.reshape(-1))
+    ys_all = jnp.asarray(gy.reshape(-1))
+    n_chunks = H * W // chunk
+
+    def render_image(_):
+        outs = []
+        for ci in range(n_chunks):
+            sl = slice(ci * chunk, (ci + 1) * chunk)
+            outs.append(render_chunk(params, xs_all[sl], ys_all[sl]))
+        return outs[-1][0]
+
+    render_image(0)             # warmup / compile
+    win = _windows(render_image, n_windows=3, iters=3)
+    rates = [H * W * 3 / dt for dt in win]
+    _emit("render_rays_per_sec_per_chip", max(rates), "rays/s",
+          max(rates) / RENDER_BASELINE_RAYS_PER_SEC, rates)
+
+
+def bench_generalizable():
+    from mvsnerf_tpu.config import config_parser
+    from mvsnerf_tpu.train.generalizable import GeneralizableSystem
+
+    args = config_parser(cmd="--pad 24 --N_samples 128 --batch_size 1024 "
+                             "--with_depth_loss --with_depth --ckpt None "
+                             "--net_type v0")
+    rng = np.random.default_rng(0)
+    imgs, intr, w2cs3, projs3, near_far = make_scene(rng, v=4)
+    batch = {
+        "images": imgs,
+        "proj_mats": projs3,
+        "near_fars": jnp.broadcast_to(near_far, (4, 2)),
+        "w2cs": w2cs3,
+        "c2ws": jnp.linalg.inv(w2cs3),
+        "intrinsics": jnp.broadcast_to(intr, (4, 3, 3)),
+        "depths_h": jnp.asarray(
+            rng.uniform(2, 5, (4, H, W)).astype(np.float32)),
+    }
+    system = GeneralizableSystem(args)
+    step, _ = system._make_step((H, W), args.batch_size, args.N_samples,
+                                10000)
+    key = jax.random.PRNGKey(0)
+
+    def one_step(i):
+        system.params, system.opt_state, loss, _ = step(
+            system.params, system.opt_state, batch,
+            jax.random.fold_in(key, i))
+        return loss
+
+    for i in range(3):          # warmup / compile
+        one_step(i)
+    jax.block_until_ready(system.params)
+
+    n_iters = 20
+    win = _windows(one_step, n_windows=3, iters=n_iters)
+    times_ms = [dt / n_iters * 1e3 for dt in win]
+    best = min(times_ms)
+    _emit("generalizable_train_step_ms", best, "ms",
+          GENERALIZABLE_BASELINE_STEP_MS / best, times_ms)
+
+
+def main():
+    from mvsnerf_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+    bench_finetune_and_render()
+    bench_generalizable()
 
 
 if __name__ == "__main__":

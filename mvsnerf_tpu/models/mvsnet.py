@@ -205,10 +205,12 @@ def mvsnet_apply(params, imgs, proj_mats, near_far, pad: int = 0,
         depth_values: (D,).
     """
     V, H, W, _ = imgs.shape
-    hp, wp = H // 4 + 2 * pad, W // 4 + 2 * pad
-    impl = resolve_costreg_impl(costreg_impl, n_planes, hp, wp)
     feats = feature_net_apply(params["feature"], imgs,
                               use_running_stats=use_running_stats)
+    # resolve from the REAL feature-map shape (H or W not divisible by 4
+    # makes the H//4 prediction disagree with the stride-4 conv output)
+    hp, wp = feats.shape[1] + 2 * pad, feats.shape[2] + 2 * pad
+    impl = resolve_costreg_impl(costreg_impl, n_planes, hp, wp)
     depth_values = depth_plane_values(near_far[0], near_far[1], n_planes,
                                       lindisp)
     layout = "packed16" if impl == "packed" else "dense"

@@ -246,7 +246,16 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
     _rb_env = _os.environ.get("MVSNERF_SWEEP_RB")  # debug/tuning override
     small_rb = _pick_row_block(hp, wp, target=8)
     if _rb_env:
-        candidates = [(int(_rb_env), warp_band)]
+        # Validate the override here with a clear error: a bad value would
+        # otherwise surface later as an opaque Mosaic failure, and traced
+        # functions bake the env value in at first compilation.
+        rb = int(_rb_env)
+        if rb <= 0 or hp % rb or (rb * wp) % 128:
+            raise ValueError(
+                f"MVSNERF_SWEEP_RB={rb} invalid for padded shape "
+                f"({hp}, {wp}): need rb > 0, hp % rb == 0 and "
+                f"(rb * wp) % 128 == 0")
+        candidates = [(rb, warp_band)]
     elif small_rb is not None and small_rb * 2 <= warp_band:
         candidates = [(small_rb, warp_band // 2)]
     else:
@@ -303,6 +312,17 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
     # cond never takes this branch — measured 4x 2.2 GB at DTU resolution.
     @jax.checkpoint
     def gather_fallback(srcs_cw, xs, ys):
+        # Surface the silent perf cliff: this branch is ~3x slower than the
+        # fused kernel, and with the narrow-band candidate active it is the
+        # only alternative (a second wide-band kernel level would cost
+        # ~100 MB HBM we don't have at DTU resolution). Opt-in because the
+        # axon TPU PJRT does not support host callbacks (debug.print would
+        # fail to compile even when this branch is never taken).
+        if _os.environ.get("MVSNERF_SWEEP_DEBUG"):
+            jax.debug.print(
+                "mvsnerf_tpu: plane-sweep y-band contract violated - using "
+                "the exact-gather fallback (slower). Consider "
+                "MVSNERF_SWEEP_RB or a wider warp_band.")
         wboth = []
         for i in range(V - 1):
             cat = srcs_cw[i].transpose(0, 2, 1)[:, :, :C + Ci]

@@ -8,8 +8,9 @@ import pytest
 import jax
 
 CKPT = "/root/reference/ckpts/mvsnerf-v0.tar"
-pytestmark = pytest.mark.skipif(not os.path.exists(CKPT),
-                                reason="reference checkpoint not present")
+pytestmark = [pytest.mark.slow,  # golden/e2e tier (see pytest.ini)
+              pytest.mark.skipif(not os.path.exists(CKPT),
+                                reason="reference checkpoint not present")]
 
 
 def test_export_import_roundtrip(tmp_path):

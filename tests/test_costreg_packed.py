@@ -10,6 +10,8 @@ from mvsnerf_tpu.models import init_mvsnet
 from mvsnerf_tpu.models.mvsnet import cost_reg_apply, resolve_costreg_impl
 from mvsnerf_tpu.models.costreg_packed import (cost_reg_packed_apply,
                                                pack_volume, unpack_volume)
+import pytest
+pytestmark = pytest.mark.slow  # compile-heavy tier (see pytest.ini)
 
 RNG = np.random.default_rng(7)
 

@@ -84,6 +84,7 @@ def _write_dtu_pairs(path, n_views=6):
                     "\n")
 
 
+@pytest.mark.slow
 def test_dtu_dataset(tmp_path):
     from mvsnerf_tpu.data.dtu import MVSDatasetDTU
     root = str(tmp_path / "dtu")
@@ -107,6 +108,7 @@ def test_dtu_dataset(tmp_path):
     assert s["view_ids"][-1] not in s["view_ids"][:3]
 
 
+@pytest.mark.slow
 def test_dtu_ft_dataset(tmp_path, monkeypatch):
     from mvsnerf_tpu.config import config_parser
     from mvsnerf_tpu.data.dtu_ft import DTUFTDataset

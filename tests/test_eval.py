@@ -32,6 +32,7 @@ def test_psnr_masked():
     assert float(psnr(a, b, jnp.asarray(mask))) > 50
 
 
+@pytest.mark.slow
 def test_evaluator_runs():
     from mvsnerf_tpu.eval.evaluate import Evaluator, nearest_source_views
     from mvsnerf_tpu.models import init_mlp, init_mvsnet
@@ -85,6 +86,7 @@ def test_interp_path_frame_cap():
     assert len(poses) <= 80, len(poses)
 
 
+@pytest.mark.slow
 def test_video_rendering(tmp_path):
     from mvsnerf_tpu.eval.video import make_path, render_video
     from mvsnerf_tpu.train import FinetuneSystem
@@ -103,6 +105,7 @@ def test_video_rendering(tmp_path):
     assert written and os.path.getsize(written[0]) > 0
 
 
+@pytest.mark.slow
 def test_evaluator_per_image_sources():
     from mvsnerf_tpu.eval.evaluate import Evaluator
     from mvsnerf_tpu.models import init_mlp, init_mvsnet

@@ -17,6 +17,8 @@ torch = pytest.importorskip("torch")
 from mvsnerf_tpu.eval.metrics import (LPIPS, _LPIPS_SHIFT, _LPIPS_SCALE,
                                       _VGG16_CFG)
 
+pytestmark = pytest.mark.slow  # compile-heavy tier (see pytest.ini)
+
 RNG = np.random.default_rng(3)
 
 

@@ -16,8 +16,9 @@ import torch.nn.functional as F
 import jax.numpy as jnp
 
 CKPT = "/root/reference/ckpts/mvsnerf-v0.tar"
-pytestmark = pytest.mark.skipif(not os.path.exists(CKPT),
-                                reason="reference checkpoint not present")
+pytestmark = [pytest.mark.slow,  # golden/e2e tier (see pytest.ini)
+              pytest.mark.skipif(not os.path.exists(CKPT),
+                                reason="reference checkpoint not present")]
 
 RNG = np.random.default_rng(3)
 

@@ -6,6 +6,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+pytestmark = pytest.mark.slow  # compile-heavy tier (see pytest.ini)
 
 CKPT = "/root/reference/ckpts/mvsnerf-v0.tar"
 

@@ -6,6 +6,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+pytestmark = pytest.mark.slow  # compile-heavy tier (see pytest.ini)
 
 RNG = np.random.default_rng(7)
 

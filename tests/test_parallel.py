@@ -3,6 +3,7 @@ rendering equals single-device rendering; the DP train step runs and learns.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -11,6 +12,7 @@ from mvsnerf_tpu.models import init_mlp
 from mvsnerf_tpu.parallel import make_mesh, shard_rays_render, \
     data_parallel_step, replicate
 from mvsnerf_tpu.render import render_rays
+pytestmark = pytest.mark.slow  # compile-heavy tier (see pytest.ini)
 
 RNG = np.random.default_rng(11)
 

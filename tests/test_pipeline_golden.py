@@ -15,8 +15,9 @@ import jax.numpy as jnp
 from test_models_golden import torch_feature_net, torch_cost_reg, torch_mlp_v0
 
 CKPT = "/root/reference/ckpts/mvsnerf-v0.tar"
-pytestmark = pytest.mark.skipif(not os.path.exists(CKPT),
-                                reason="reference checkpoint not present")
+pytestmark = [pytest.mark.slow,  # golden/e2e tier (see pytest.ini)
+              pytest.mark.skipif(not os.path.exists(CKPT),
+                                reason="reference checkpoint not present")]
 
 RNG = np.random.default_rng(7)
 

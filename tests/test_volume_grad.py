@@ -8,6 +8,7 @@ import jax.numpy as jnp
 
 from mvsnerf_tpu.ops.interp import grid_sample_3d
 from mvsnerf_tpu.ops.volume_grad import sample_volume_train
+pytestmark = pytest.mark.slow  # compile-heavy tier (see pytest.ini)
 
 RNG = np.random.default_rng(23)
 

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 
 from mvsnerf_tpu.ops.interp import grid_sample_2d
 from mvsnerf_tpu.ops.warp_fast import bilinear_warp_banded
+pytestmark = pytest.mark.slow  # compile-heavy tier (see pytest.ini)
 
 RNG = np.random.default_rng(41)
 
