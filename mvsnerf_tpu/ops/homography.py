@@ -50,6 +50,29 @@ def plane_sweep_grid(proj_mat, depth_values, h: int, w: int, pad: int = 0):
     return jnp.stack([gx, gy], axis=-1).reshape(-1, hp, wp, 2)
 
 
+def plane_sweep_pix_coords(proj_mat, depth_values, h: int, w: int,
+                           pad: int = 0):
+    """Source-PIXEL sweep coordinates as two flat (1, D*hp*wp) arrays.
+
+    Same math as plane_sweep_grid + _pix_coords composed, but never
+    materializes a (..., 2)-trailing tensor: XLA tiles the 2-wide lane axis
+    up to 128 (~613 MB per view at DTU resolution), and the (D,hp,wp,2) ->
+    (1,N,2) reshape relayouts it again. Keeping the flat sample axis in
+    lanes end-to-end removes ~2/3 of the fused-sweep forward's wall time
+    (the kernel itself is ~18 ms; the grid detour cost ~37 ms)."""
+    hp, wp = h + 2 * pad, w + 2 * pad
+    xs = jnp.arange(wp, dtype=jnp.float32) - pad
+    ys = jnp.arange(hp, dtype=jnp.float32) - pad
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    ref = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=0).reshape(3, -1)
+    rot = matmul_f32(proj_mat[:, :3], ref)          # (3, hp*wp)
+    src = rot[None] + proj_mat[:, 3:][None] / \
+        depth_values[:, None, None]                 # (D, 3, hp*wp)
+    inv_z = 1.0 / src[:, 2]
+    return ((src[:, 0] * inv_z).reshape(1, -1),
+            (src[:, 1] * inv_z).reshape(1, -1))
+
+
 def homo_warp(src_feat, proj_mat, depth_values, pad: int = 0, grid=None):
     """Warp one source feature map onto D fronto-parallel planes.
 
@@ -226,9 +249,8 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
     `in_masks` / `colors` are assembled from DCE-able XLA ops — no caller
     of the training path consumes them (they exist for return_color
     consumers, models.py:925-926, which run once per scene at most)."""
-    from .pallas_sweep import (_pick_row_block, _pix_coords,
-                               cost_volume_fused_pallas, _Static,
-                               sweep_fits_band)
+    from .pallas_sweep import (_pick_row_block, cost_volume_fused_pallas,
+                               _Static, sweep_fits_band_pix)
 
     V, h, w, C = feats.shape
     Ci = imgs_l.shape[-1]
@@ -261,16 +283,13 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
     else:
         candidates = [(_pick_row_block(hp, wp), warp_band)]
 
-    grids = [plane_sweep_grid(proj_mats[i], depth_values, h, w, pad)
-             for i in range(1, V)]
-
-    xs, ys = [], []
-    for g in grids:
-        x_, y_ = _pix_coords(g, h, w)
-        xs.append(x_)
-        ys.append(y_)
-    xs = jnp.stack(xs)                                  # (V-1, 1, N)
-    ys = jnp.stack(ys)
+    # Pixel coords straight from the projection (no (..., 2) grid tensor —
+    # see plane_sweep_pix_coords). The normalized grids below exist ONLY
+    # for the masks/colors side outputs and are DCE'd in the train path.
+    coords = [plane_sweep_pix_coords(proj_mats[i], depth_values, h, w, pad)
+              for i in range(1, V)]
+    xs = jnp.stack([c[0] for c in coords])              # (V-1, 1, N)
+    ys = jnp.stack([c[1] for c in coords])
 
     def pack_src(feat, img):
         cat = jnp.concatenate([feat, img], axis=-1)     # (h, w, C+Ci)
@@ -296,15 +315,20 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
             ct = Ci * V + C
             if cost_layout == "packed16":
                 # (cc, D*hp*wp) -> (1, D/16, hp, wp, 16*ct) without ever
-                # materializing the lane-padded dense layout
-                pk = cost_cm.reshape(cc, D // 16, 16, hp, wp)
-                pk = pk.transpose(1, 3, 4, 2, 0)[..., :ct]
+                # materializing the lane-padded dense layout. Formulated as
+                # 16 per-plane transposes + one lane concat: the single 5-D
+                # transpose costs ~30 ms at DTU scale (lane-crossing move
+                # of 900 MB in 4-byte units); this form measures ~10 ms.
+                cm5 = cost_cm.reshape(cc, D // 16, 16, hp * wp)
+                parts = [cm5[:ct, :, p].transpose(1, 2, 0)
+                         for p in range(16)]
+                pk = jnp.concatenate(parts, axis=-1)
                 return pk.reshape(1, D // 16, hp, wp, 16 * ct)
             return cost_cm.reshape(cc, D, hp, wp).transpose(1, 2, 3, 0)[
                 ..., :ct]
 
         fits = jnp.all(jnp.stack(
-            [sweep_fits_band(g, h, rb, band) for g in grids]))
+            [sweep_fits_band_pix(c[1], h, wp, rb, band) for c in coords]))
         return fits, branch
 
     # checkpoint: the fallback's gather residuals (corner indices/weights
@@ -362,7 +386,10 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
                    )(fits, branch, cost_fn)
     cost = cost_fn(srcs_cw, xs, ys)
 
-    # side outputs for return_color consumers — DCE'd when unused
+    # side outputs for return_color consumers — DCE'd when unused (the
+    # normalized grids are built here, NOT in the hot path above)
+    grids = [plane_sweep_grid(proj_mats[i], depth_values, h, w, pad)
+             for i in range(1, V)]
     masks = jnp.stack([in_bounds_mask(g) for g in grids])
     in_masks = jnp.concatenate(
         [jnp.ones((1, D, hp, wp), jnp.float32), masks], axis=0)

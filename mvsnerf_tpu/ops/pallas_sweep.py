@@ -226,8 +226,15 @@ def sweep_fits_band(grid, h: int, row_block: int, band: int):
     (same contract as ops/warp_fast._prep). grid: (..., w_out, 2)
     normalized coords; blocks are consecutive output rows."""
     y = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
-    rows = y.reshape(-1, y.shape[-1])
-    blocks = rows.reshape(-1, row_block, y.shape[-1])
+    return sweep_fits_band_pix(y, h, y.shape[-1], row_block, band)
+
+
+def sweep_fits_band_pix(ys_pix, h: int, w_out: int, row_block: int,
+                        band: int):
+    """sweep_fits_band on flat source-PIXEL y coords (1, D*rows*w_out) —
+    the no-(..., 2)-tensor path (plane_sweep_pix_coords)."""
+    rows = ys_pix.reshape(-1, w_out)
+    blocks = rows.reshape(-1, row_block, w_out)
     y0 = jnp.floor(jnp.clip(blocks, -2.0, h + 1.0)).astype(jnp.int32)
     in_y0 = (y0 >= 0) & (y0 <= h - 1)
     in_y1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)

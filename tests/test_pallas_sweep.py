@@ -119,7 +119,14 @@ def test_cost_volume_pallas_mode_matches_gather():
                             warp_fwd_mode="pallas", warp_band=16)
     for r, o, name in zip(ref, out, ("cost", "masks", "colors")):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
-                                   atol=2e-5, rtol=1e-4, err_msg=name)
+                                   # atol: pallas computes pixel coords
+                                   # straight from the projection
+                                   # (plane_sweep_pix_coords); the gather
+                                   # reference goes through the normalized
+                                   # grid + denormalize roundtrip - 1-ulp
+                                   # coordinate shifts move bilinear
+                                   # weights by ~1e-5 px.
+                                   atol=2e-4, rtol=1e-3, err_msg=name)
 
 
 def test_cost_volume_pallas_mode_backward():
@@ -200,7 +207,14 @@ def test_cost_volume_fused_kernel_matches_gather():
                             warp_fwd_mode="pallas", warp_band=16)
     for r, o, name in zip(ref, out, ("cost", "masks", "colors")):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
-                                   atol=2e-5, rtol=1e-4, err_msg=name)
+                                   # atol: pallas computes pixel coords
+                                   # straight from the projection
+                                   # (plane_sweep_pix_coords); the gather
+                                   # reference goes through the normalized
+                                   # grid + denormalize roundtrip - 1-ulp
+                                   # coordinate shifts move bilinear
+                                   # weights by ~1e-5 px.
+                                   atol=2e-4, rtol=1e-3, err_msg=name)
 
 
 def test_cost_volume_fused_kernel_backward():
