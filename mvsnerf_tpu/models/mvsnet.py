@@ -36,16 +36,28 @@ _FEATURE_CFG = {
 }
 
 
-def feature_net_apply(params, x, use_running_stats: bool = False):
+def feature_net_apply(params, x, use_running_stats: bool = False,
+                      dtype=None):
     """x: (B, H, W, 3) -> (B, H/4, W/4, 32) stride-4 features
-    (models.py:715-722)."""
+    (models.py:715-722).
+
+    `dtype=jnp.bfloat16` runs the convs with bf16 activations/weights
+    (f32 ABN statistics, f32 output): the 8/16/32-channel activations are
+    lane-padded up to 16x by XLA, so the net is HBM-bound and bf16 halves
+    that traffic."""
+    def cast(v):
+        return v.astype(dtype) if dtype is not None else v
+
+    x = cast(x)
     for group, cfg in _FEATURE_CFG.items():
         for i, (k, s, pad, cin, cout) in enumerate(cfg):
             p = params[group][i]
-            x = conv2d(p["conv"], x, stride=s, padding=pad)
+            x = conv2d({"kernel": cast(p["conv"]["kernel"])}, x,
+                       stride=s, padding=pad)
             x = abn(p["bn"], x, use_running_stats=use_running_stats)
-    x = conv2d_bias(params["toplayer"], x)  # 1x1 conv with bias
-    return x
+    x = conv2d_bias({"kernel": cast(params["toplayer"]["kernel"]),
+                     "bias": cast(params["toplayer"]["bias"])}, x)
+    return x.astype(jnp.float32)
 
 
 def conv2d_bias(p, x):

@@ -52,11 +52,11 @@ ys = jnp.asarray(np.stack(ys_all))
 
 def timeit(name, fn, *args, iters=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(jax.tree.leaves(out)[0]))   # force real completion
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(jax.tree.leaves(out)[0]))
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:40s} {dt * 1e3:8.2f} ms", flush=True)
 

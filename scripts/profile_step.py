@@ -6,7 +6,11 @@ Times: render fwd | fwd+bwd wrt mlp only | fwd+bwd wrt mlp+volume |
 full Adam step | fused-pallas render fwd.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
@@ -58,13 +62,17 @@ def render(mlp_p, vol):
                        volume_band_k=volume_band_width(D, N_SAMPLES))["rgb"]
 
 
+def _force(out):
+    return float(jnp.sum(jax.tree.leaves(out)[0]))
+
+
 def timeit(name, fn, *args, iters=30):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:34s} {dt * 1e3:8.2f} ms   "
           f"{N_RAYS / dt:10.0f} rays/s")

@@ -25,13 +25,17 @@ rng = np.random.default_rng(0)
 mvs = init_mvsnet(jax.random.PRNGKey(0))["cost_reg_2"]
 
 
+def _force(out):
+    return float(jnp.sum(jax.tree.leaves(out)[0]))
+
+
 def timeit(name, fn, *args, iters=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:44s} {dt * 1e3:8.2f} ms", flush=True)
 
