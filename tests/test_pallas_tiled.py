@@ -1,0 +1,151 @@
+"""Tiled fused full-image render kernel vs the exact XLA path
+(interpret mode on CPU; the same kernel compiles natively on TPU).
+
+Covers ops/pallas_render_tiled.py: trilinear window interpolation
+(zeros padding at volume edges), v0 MLP, streaming compositing, tile
+planning/fallback, and the pack/untile layout round trip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow  # compile-heavy tier (see pytest.ini)
+
+CKPT = "/root/reference/ckpts/mvsnerf-v0.tar"
+
+RNG = np.random.default_rng(33)
+
+# Small-geometry kernel config: full-extent x/y windows (always valid),
+# kb=8 z band.  yb * kb must equal 128.
+DIMS = (16, 16, 16)       # (D, HP, WP)
+KCFG = dict(yb=16, kb=8, xb=16)
+IMAGE_HW = (8, 16)
+TILE_HW = (4, 8)
+S = 32
+
+
+@pytest.fixture(scope="module")
+def mlp():
+    import os
+    if os.path.exists(CKPT):
+        from mvsnerf_tpu.io.torch_ckpt import load_reference_checkpoint
+        return load_reference_checkpoint(CKPT)["mlp"]
+    from mvsnerf_tpu.models import init_mlp
+    return init_mlp(jax.random.PRNGKey(0), "v0")
+
+
+@pytest.fixture(scope="module")
+def scene():
+    D, HP, WP = DIMS
+    H, W = IMAGE_HW
+    vol = RNG.standard_normal((D, HP, WP, 20)).astype(np.float32)
+    # Per-pixel ndc rays with small jitter; z spans the volume so the
+    # kb=8 band (per sample column, shared across rays) is exercised.
+    px = np.tile(np.arange(W), H).astype(np.float32)
+    py = np.repeat(np.arange(H), W).astype(np.float32)
+    jit = RNG.uniform(-0.3, 0.3, (2, H * W, S)).astype(np.float32)
+    x = ((px[:, None] + jit[0]) / (W - 1)).clip(-0.05, 1.05)
+    y = ((py[:, None] + jit[1]) / (H - 1)).clip(-0.05, 1.05)
+    z = np.broadcast_to(np.linspace(0.0, 1.0, S, dtype=np.float32),
+                        (H * W, S)).copy()
+    xyz = np.stack([x, y, z], axis=-1)            # (H*W, S, 3)
+    z_vals = (2.0 + 4.0 * z).astype(np.float32)   # metric depth
+    dirs = RNG.standard_normal((H * W, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return (jnp.asarray(vol), jnp.asarray(xyz), jnp.asarray(dirs),
+            jnp.asarray(z_vals))
+
+
+def exact_reference(mlp, vol, xyz, dirs, z_vals, white_bkgd=False):
+    from mvsnerf_tpu.ops.interp import index_point_feature
+    from mvsnerf_tpu.render.renderer import run_network
+    from mvsnerf_tpu.ops.compositing import raw2outputs
+
+    feats = index_point_feature(vol, xyz)
+    raw = run_network(mlp, xyz, dirs, feats, net_type="v0")
+    return raw2outputs(raw, z_vals, white_bkgd=white_bkgd)
+
+
+def test_tiled_render_matches_exact(mlp, scene):
+    from mvsnerf_tpu.ops import pallas_render_tiled as prt
+
+    vol, xyz, dirs, z_vals = scene
+    ref = exact_reference(mlp, vol, xyz, dirs, z_vals)
+
+    out = prt.render_image_tiled(
+        mlp, prt.prepare_volume(vol, dtype=jnp.float32), xyz, dirs,
+        z_vals, image_hw=IMAGE_HW, dims=DIMS, tile_hw=TILE_HW,
+        mlp_precision="highest", interp_dtype="float32",
+        interpret=True, **KCFG)
+
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(ref["rgb"]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out["depth"]),
+                               np.asarray(ref["depth"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(out["acc"]),
+                               np.asarray(ref["acc"]), atol=3e-5)
+
+
+def test_tiled_render_white_bkgd_and_bf16(mlp, scene):
+    from mvsnerf_tpu.ops import pallas_render_tiled as prt
+
+    vol, xyz, dirs, z_vals = scene
+    ref = exact_reference(mlp, vol, xyz, dirs, z_vals, white_bkgd=True)
+    out = prt.render_image_tiled(
+        mlp, prt.prepare_volume(vol), xyz, dirs, z_vals,
+        image_hw=IMAGE_HW, dims=DIMS, tile_hw=TILE_HW,
+        white_bkgd=True, interpret=True, **KCFG)
+    # bf16 window/weights: loose tolerance, but must track the exact path
+    # (an N(0,1) noise volume is the worst case for bf16 interpolation —
+    # real encoding volumes are much smoother).
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(ref["rgb"]), atol=5e-2)
+
+
+def test_tiled_render_fallback_paths(mlp, scene):
+    from mvsnerf_tpu.ops import pallas_render_tiled as prt
+
+    vol, xyz, dirs, z_vals = scene
+    calls = []
+
+    def fallback():
+        calls.append(1)
+        return {"rgb": None, "depth": None, "acc": None}
+
+    # Image that does not tile evenly -> fallback.
+    prt.render_image_tiled(
+        mlp, prt.prepare_volume(vol), xyz[:6 * 16], dirs[:6 * 16],
+        z_vals[:6 * 16], image_hw=(6, 16), dims=DIMS, tile_hw=TILE_HW,
+        fallback_fn=fallback, **KCFG)
+    assert calls == [1]
+
+    # Tile locality violated (x span exceeds an 8-voxel window) -> fallback.
+    wild = xyz.at[..., 0].set(
+        jnp.asarray(RNG.uniform(0, 1, xyz.shape[:-1]).astype(np.float32)))
+    prt.render_image_tiled(
+        mlp, prt.prepare_volume(vol), wild, dirs, z_vals,
+        image_hw=IMAGE_HW, dims=DIMS, tile_hw=TILE_HW,
+        fallback_fn=fallback, yb=16, kb=8, xb=8)
+    assert calls == [1, 1]
+
+
+def test_pack_untile_roundtrip():
+    from mvsnerf_tpu.ops import pallas_render_tiled as prt
+
+    H, W = IMAGE_HW
+    vals = jnp.asarray(
+        RNG.standard_normal((H * W, 8)).astype(np.float32))
+    xyz = jnp.zeros((H * W, S, 3))
+    zv = jnp.zeros((H * W, S))
+    _, _, dirs_t = prt.pack_tiles(xyz, vals[:, :3], zv,
+                                  image_hw=IMAGE_HW, tile_hw=TILE_HW)
+    # tiles() ordering must invert through untile_image.
+    T, R = dirs_t.shape[:2]
+    tiled8 = jnp.concatenate(
+        [dirs_t, jnp.zeros((T, R, 5))], axis=-1)
+    back = prt.untile_image(tiled8, IMAGE_HW, TILE_HW)
+    np.testing.assert_allclose(np.asarray(back[:, :3]),
+                               np.asarray(vals[:, :3]))
