@@ -54,6 +54,14 @@ def config_parser(cmd=None):
                              "level runs at 128 lanes (TPU layout "
                              "optimization, models/costreg_packed.py); "
                              "'auto' = packed when the shape conforms")
+    parser.add_argument("--render_mode", type=str, default="chunked",
+                        choices=["chunked", "tiled"],
+                        help="full-image render path: 'chunked' = exact "
+                             "XLA lax.map chunks (reference parity); "
+                             "'tiled' = fused Pallas tile kernel over a "
+                             "color-baked volume (TPU fast path, "
+                             "ops/pallas_render_tiled.py; falls back to "
+                             "chunked when a view breaks tile locality)")
     parser.add_argument("--lpips_weights", type=str,
                         default="lpips_vgg.npz",
                         help="path to converted lpips-VGG weights .npz "

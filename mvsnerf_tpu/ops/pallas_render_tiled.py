@@ -37,9 +37,11 @@ Design points (kernel contract):
 
 Numerics: interpolation weights and the window are bf16 (same policy as
 ops/precision.INTERP 'default'); the MLP runs at `mlp_precision` —
-'highest' (full f32) or 'default' (bf16); Mosaic does not lower the
-3-pass 'high' level inside kernels. The exact-parity path remains
-render/renderer.py.
+'high' (default; manual 3-pass bf16 split emulation, since Mosaic does
+not lower lax HIGH inside kernels — measured on device: error identical
+to 'highest' because bf16 interpolation dominates, 1.5x faster),
+'highest' (full f32) or 'default' (bf16, ~5e-2 rgb error). The
+exact-parity path remains render/renderer.py.
 
 Reference behaviour covered: renderer.ipynb cells 4-18 render loop;
 renderer.py:138-165 `rendering`; utils.py:357-383 `index_point_feature`
@@ -75,30 +77,47 @@ def pack_v0_weights_padded(mlp_params, feat_ch: int = 20,
     return w
 
 
-def _mlp_cols(xyz, feats, dv, w):
+def _split_dot(a, b):
+    """3-pass bf16 emulation of float32 matmul (lax.Precision.HIGH, which
+    Mosaic does not lower inside kernels): split both operands into
+    bf16 hi + bf16 residual, drop the lo*lo term."""
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return dot(ah, bh) + (dot(ah, bl) + dot(al, bh))
+
+
+def _plain_dot(a, b):
+    return a @ b
+
+
+def _mlp_cols(xyz, feats, dv, w, dot=_plain_dot):
     """v0 NeRF MLP for one sample column: xyz (R, 3) ndc, feats (R, CP)
     (pad lanes zeroed by the padded bias_k / masked interp), dv (R, 64)
     precomputed viewdir head contribution. Same split-matmul decomposition
     as pallas_kernels._mlp_rows (models.py:145-222)."""
-    sc = xyz @ w["pe_f"]
+    sc = dot(xyz, w["pe_f"])
     sin_sc = jnp.sin(sc)
     cos_sc = jnp.cos(sc)
-    bias = feats @ w["bias_k"] + w["bias_b"]
+    bias = dot(feats, w["bias_k"]) + w["bias_b"]
 
-    h = (xyz @ w["k0_x"] + sin_sc @ w["k0_s"] + cos_sc @ w["k0_c"]
-         + w["b0"])
+    h = (dot(xyz, w["k0_x"]) + dot(sin_sc, w["k0_s"])
+         + dot(cos_sc, w["k0_c"]) + w["b0"])
     h = jax.nn.relu(h * bias)
     for i in (1, 2, 3, 4):
-        h = h @ w[f"k{i}"] + w[f"b{i}"]
+        h = dot(h, w[f"k{i}"]) + w[f"b{i}"]
         h = jax.nn.relu(h * bias)
-    h = (xyz @ w["k5_x"] + sin_sc @ w["k5_s"] + cos_sc @ w["k5_c"]
-         + h @ w["k5_bot"] + w["b5"])
+    h = (dot(xyz, w["k5_x"]) + dot(sin_sc, w["k5_s"])
+         + dot(cos_sc, w["k5_c"]) + dot(h, w["k5_bot"]) + w["b5"])
     h = jax.nn.relu(h * bias)
 
-    sigma = jax.nn.relu(h @ w["ak"] + w["ab"])                # (R, 1)
-    feature = h @ w["fk"] + w["fb"]
-    hv = jax.nn.relu(feature @ w["vk_top"] + dv + w["vb"])
-    rgb = jax.nn.sigmoid(hv @ w["rk"] + w["rb"])              # (R, 3)
+    sigma = jax.nn.relu(dot(h, w["ak"]) + w["ab"])            # (R, 1)
+    feature = dot(h, w["fk"]) + w["fb"]
+    hv = jax.nn.relu(dot(feature, w["vk_top"]) + dv + w["vb"])
+    rgb = jax.nn.sigmoid(dot(hv, w["rk"]) + w["rb"])          # (R, 3)
     return rgb, sigma
 
 
@@ -111,23 +130,29 @@ def _pair_weights(frac, lo_ok, hi_ok, idx, rel0):
             + jnp.where(idx == rel0 + 1, w1, 0.0))
 
 
-def _make_kernel(dims, shp, mlp_precision, interp_dtype):
+def _make_kernel(dims, shp, mlp_precision, interp_dtype, unroll):
     D, HP, WP = dims
     (T, R, S, YB, XB, KB) = shp
     n_sblk = S // COLS_PER_BLOCK
     XC = XB * CP
+    UNROLL = unroll
 
     def kernel(oy_ref, oxc_ref, coords_ref, dirs_ref, *rest):
         w_refs = rest[:len(_WEIGHT_ORDER)]
         vol_ref, out_ref = rest[len(_WEIGHT_ORDER)], rest[-3]
         box, sem = rest[-2], rest[-1]
 
-        with jax.default_matmul_precision(mlp_precision):
+        if mlp_precision == "high":
+            # manual 3-pass bf16 emulation; Mosaic has no HIGH lowering
             _body(oy_ref, oxc_ref, coords_ref, dirs_ref,
-                  w_refs, vol_ref, out_ref, box, sem)
+                  w_refs, vol_ref, out_ref, box, sem, _split_dot)
+        else:
+            with jax.default_matmul_precision(mlp_precision):
+                _body(oy_ref, oxc_ref, coords_ref, dirs_ref,
+                      w_refs, vol_ref, out_ref, box, sem, _plain_dot)
 
     def _body(oy_ref, oxc_ref, coords_ref, dirs_ref,
-              w_refs, vol_ref, out_ref, box, sem):
+              w_refs, vol_ref, out_ref, box, sem, dot):
         t = pl.program_id(0)
         oy = pl.multiple_of(oy_ref[t], 8)
         oxc = pl.multiple_of(oxc_ref[t], 128)
@@ -137,7 +162,7 @@ def _make_kernel(dims, shp, mlp_precision, interp_dtype):
 
         w = {name: ref[:] for name, ref in zip(_WEIGHT_ORDER, w_refs)}
         dirs = dirs_ref[0]                                    # (R, 3)
-        dv = dirs @ w["vk_bot"]                               # (R, 64)
+        dv = dot(dirs, w["vk_bot"])                           # (R, 64)
 
         ky = jax.lax.broadcasted_iota(jnp.int32, (R, KB * YB), 1)
         kz_row = ky // YB
@@ -146,7 +171,9 @@ def _make_kernel(dims, shp, mlp_precision, interp_dtype):
 
         dma.wait()
 
-        def column(t_carry, rgb_acc, dep_acc, acc_acc, col):
+        def col_compute(col):
+            """Interp + MLP for one column — independent of the
+            compositing carry, so UNROLL columns can overlap MXU/VPU."""
             x = col[:, 0:1] * (WP - 1.0)
             y = col[:, 1:2] * (HP - 1.0)
             z = col[:, 2:3] * (D - 1.0)
@@ -184,34 +211,50 @@ def _make_kernel(dims, shp, mlp_precision, interp_dtype):
                                (x0i + 1 >= 0) & (x0i + 1 <= WP - 1),
                                kx, x0i - (oxc // CP))
             prod = out1 * ax
-            shift = XC // 2
-            while shift >= CP:                    # lane roll-tree x fold
-                # left-roll by `shift` == right-roll by XC - shift
-                prod = prod + pltpu.roll(prod, XC - shift, 1)
+            # Narrowing lane roll-tree x fold: slice after each roll so
+            # VPU work is ~2*XC, not log2(XB)*XC. Stop narrowing at 128
+            # lanes (sub-128 lane rolls are not reliably lowered), then
+            # finish with full-width rolls. left-roll s == right-roll
+            # width - s on the current array.
+            width = XC
+            while width > 128:
+                half = width // 2
+                prod = (prod + pltpu.roll(prod, width - half, 1))[:, :half]
+                width = half
+            shift = width // 2
+            while shift >= CP:
+                prod = prod + pltpu.roll(prod, width - shift, 1)
                 shift //= 2
             feats = prod[:, :CP]                               # (R, CP)
 
-            rgb, sigma = _mlp_cols(col[:, 0:3], feats, dv, w)
+            rgb, sigma = _mlp_cols(col[:, 0:3], feats, dv, w, dot)
             alpha = 1.0 - jnp.exp(-sigma)                      # (R, 1)
-            wgt = alpha * t_carry
-            return (t_carry * (1.0 - alpha + 1e-10),
-                    rgb_acc + wgt * rgb,
-                    dep_acc + wgt * col[:, 3:4],
-                    acc_acc + wgt)
+            return rgb, alpha, col[:, 3:4]
 
         def s_block(sb, carry):
-            # One dynamic inner loop with a 4-lane rotation per column —
-            # NOT a 32-wide unroll, which blows up Mosaic compile time
-            # (the whole-program MLP appears once, not 32x per s-block).
+            # A dynamic inner loop with a 4*UNROLL-lane rotation per
+            # iteration — NOT a 32-wide unroll, which blows up Mosaic
+            # compile time. UNROLL > 1 computes that many independent
+            # columns per iteration (interp+MLP have no cross-column
+            # dependency) before the ordered compositing update, giving
+            # the scheduler MXU/VPU overlap across columns.
             blk = coords_ref[0, sb]                            # (R, 128)
 
             def inner(j, c):
                 blk, t_c, rgb_a, dep_a, acc_a = c
-                out = column(t_c, rgb_a, dep_a, acc_a, blk[:, 0:4])
-                return (pltpu.roll(blk, 128 - 4, 1),) + out
+                outs = [col_compute(blk[:, 4 * u:4 * (u + 1)])
+                        for u in range(UNROLL)]
+                for rgb, alpha, zval in outs:   # ordered compositing
+                    wgt = alpha * t_c
+                    t_c = t_c * (1.0 - alpha + 1e-10)
+                    rgb_a = rgb_a + wgt * rgb
+                    dep_a = dep_a + wgt * zval
+                    acc_a = acc_a + wgt
+                return (pltpu.roll(blk, 128 - 4 * UNROLL, 1),
+                        t_c, rgb_a, dep_a, acc_a)
 
             return jax.lax.fori_loop(
-                0, COLS_PER_BLOCK, inner, (blk,) + carry)[1:]
+                0, COLS_PER_BLOCK // UNROLL, inner, (blk,) + carry)[1:]
 
         zeros1 = jnp.zeros((R, 1), jnp.float32)
         t_c, rgb_c, dep_c, acc_c = jax.lax.fori_loop(
@@ -226,11 +269,12 @@ def _make_kernel(dims, shp, mlp_precision, interp_dtype):
 
 @functools.partial(
     jax.jit, static_argnames=("dims", "tile_shape", "yb", "xb", "kb",
-                              "mlp_precision", "interp_dtype", "interpret"))
+                              "mlp_precision", "interp_dtype", "unroll",
+                              "interpret"))
 def tiled_render_v0(weights_list, vol3, coords, dirs, oy, oxc, *,
                     dims, tile_shape, yb: int = 32, xb: int = 32,
-                    kb: int = 4, mlp_precision: str = "highest",
-                    interp_dtype: str = "bfloat16",
+                    kb: int = 4, mlp_precision: str = "high",
+                    interp_dtype: str = "bfloat16", unroll: int = 1,
                     interpret: bool = False):
     """Run the fused tiled render kernel.
 
@@ -255,9 +299,10 @@ def tiled_render_v0(weights_list, vol3, coords, dirs, oy, oxc, *,
     D, HP, WP = dims
     assert S % COLS_PER_BLOCK == 0, (S, COLS_PER_BLOCK)
     assert yb * kb == 128, (yb, kb)  # (z, y) one-hot contraction = one MXU pass
-    assert xb & (xb - 1) == 0, xb    # lane roll-tree needs a power of two
+    assert xb & (xb - 1) == 0 and xb >= 4, xb  # roll-tree: pow2, XC >= 128
+    assert COLS_PER_BLOCK % unroll == 0, unroll
     kernel = _make_kernel(dims, (T, R, S, yb, xb, kb), mlp_precision,
-                          jnp.dtype(interp_dtype))
+                          jnp.dtype(interp_dtype), unroll)
 
     vmem = lambda shape: pl.BlockSpec(
         shape, lambda t, *_: (t,) + (0,) * (len(shape) - 1),
@@ -375,8 +420,8 @@ def prepare_volume(volume20, used_ch: int = 20, dtype=jnp.bfloat16):
 def render_image_tiled(mlp_params, vol3, xyz_ndc, dirs, z_vals, *,
                        image_hw, dims, tile_hw=(32, 64), yb: int = 32,
                        xb: int = 32, kb: int = 4,
-                       mlp_precision: str = "highest",
-                       interp_dtype: str = "bfloat16",
+                       mlp_precision: str = "high",
+                       interp_dtype: str = "bfloat16", unroll: int = 1,
                        white_bkgd: bool = False,
                        fallback_fn=None, weights_list=None,
                        interpret: bool = False):
@@ -416,7 +461,8 @@ def render_image_tiled(mlp_params, vol3, xyz_ndc, dirs, z_vals, *,
     out = tiled_render_v0(weights_list, vol3, coords, dirs_t, oy, oxc,
                           dims=dims, tile_shape=(T, R, S), yb=yb,
                           xb=xb, kb=kb, mlp_precision=mlp_precision,
-                          interp_dtype=interp_dtype, interpret=interpret)
+                          interp_dtype=interp_dtype, unroll=unroll,
+                          interpret=interpret)
     flat = untile_image(out, image_hw, tile_hw)
     rgb, depth, acc = flat[:, 0:3], flat[:, 3], flat[:, 4]
     if white_bkgd:

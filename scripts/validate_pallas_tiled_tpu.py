@@ -1,9 +1,16 @@
-"""On-device (real TPU) validation of the tiled fused full-image render
-kernel (ops/pallas_render_tiled.py): compile via Mosaic, compare numerics
-vs the XLA baked-volume path, and time both at the production shape
-(640x512 image, N_samples=128, pad-24 DTU volume — BASELINE configs 1-2).
+"""On-device (real TPU) validation + config sweep of the tiled fused
+full-image render kernel (ops/pallas_render_tiled.py): compile via Mosaic,
+compare numerics vs the XLA baked-volume path, and time each config at the
+production shape (640x512 image, N_samples=128, pad-24 DTU volume —
+BASELINE configs 1-2).
+
+Usage:
+  python scripts/validate_pallas_tiled_tpu.py          # default config list
+  python scripts/validate_pallas_tiled_tpu.py --configs 32,64,32,32,4,highest
+  (config = th,tw,yb,xb,kb,mlp_precision[,interp_dtype])
 """
 
+import argparse
 import os
 import sys
 import time
@@ -21,13 +28,26 @@ from mvsnerf_tpu.io.torch_ckpt import load_reference_checkpoint
 from mvsnerf_tpu.models import init_mlp, init_mvsnet, mvsnet_apply
 from mvsnerf_tpu.ops import get_ndc_coordinate, rays_from_pixels
 from mvsnerf_tpu.render.renderer import (build_color_volume, gen_dir_feature,
-                                         render_rays, render_image_chunked)
+                                         render_rays)
 from mvsnerf_tpu.train.finetune import frustum_point_volume
 from mvsnerf_tpu.ops import pallas_render_tiled as prt
 
 import bench  # repo-root bench.py: make_scene, H, W, PAD, N_SAMPLES
 
 H, W, PAD, S = bench.H, bench.W, bench.PAD, bench.N_SAMPLES
+
+DEFAULT_CONFIGS = [
+    "32,64,32,32,4,highest",
+    "32,32,32,16,4,highest",
+    "64,64,32,32,4,highest",
+    "32,64,32,32,4,default",   # bf16 MLP: timing only (numerics degrade)
+]
+
+p = argparse.ArgumentParser()
+p.add_argument("--configs", default=";".join(DEFAULT_CONFIGS))
+p.add_argument("--xla_timing", action="store_true",
+               help="also time the XLA chunked path (slow, ~12 s/image)")
+a = p.parse_args()
 
 print(jax.devices(), flush=True)
 
@@ -43,8 +63,8 @@ imgs, intr, w2cs, projs, near_far = bench.make_scene(rng)
 v = imgs.shape[0]
 intrs = jnp.broadcast_to(intr, (v, 3, 3))
 
-volume8 = jax.jit(lambda p, im: mvsnet_apply(
-    p, im, projs, near_far, pad=PAD)[0])(mvs, imgs)
+volume8 = jax.jit(lambda p_, im: mvsnet_apply(
+    p_, im, projs, near_far, pad=PAD)[0])(mvs, imgs)
 jax.block_until_ready(volume8)
 d, hp, wp, _ = volume8.shape
 print("volume:", volume8.shape, flush=True)
@@ -82,7 +102,7 @@ def ray_data(xs, ys):
     return pts_ndc, angle, z_vals
 
 
-# ---- XLA baked-volume chunked path (parity + timing baseline) -----------
+# ---- XLA baked-volume chunked path (parity reference) -------------------
 # NB: the volume must be an ARGUMENT, not a closure constant — the axon
 # remote-compile service hangs on HLO with >100 MB constants.
 @jax.jit
@@ -108,61 +128,63 @@ t0 = time.perf_counter()
 ref = xla_image()
 jax.block_until_ready(ref)
 print(f"XLA path compiled+ran in {time.perf_counter()-t0:.1f}s", flush=True)
-
-iters = 1
-t0 = time.perf_counter()
-for _ in range(iters):
+xla_ms = None
+if a.xla_timing:
+    t0 = time.perf_counter()
     ref = xla_image()
-val = float(jnp.sum(ref["rgb"]))
-xla_ms = (time.perf_counter() - t0) / iters * 1e3
-print(f"XLA baked-volume image: {xla_ms:.1f} ms "
-      f"({H*W/xla_ms*1e3:.0f} rays/s) [checksum {val:.3f}]", flush=True)
+    val = float(jnp.sum(ref["rgb"]))
+    xla_ms = (time.perf_counter() - t0) * 1e3
+    print(f"XLA baked-volume image: {xla_ms:.1f} ms "
+          f"({H*W/xla_ms*1e3:.0f} rays/s) [checksum {val:.3f}]", flush=True)
 
-# ---- tiled kernel -------------------------------------------------------
+# ---- tiled kernel sweep -------------------------------------------------
 pts_ndc_all, angle_all, zv_all = ray_data(xs_all, ys_all)
 jax.block_until_ready(pts_ndc_all)
 vol3 = prt.prepare_volume(volume20)
 weights_list = prt.pack_v0_weights_padded(mlp)
-
-import argparse
-p = argparse.ArgumentParser()
-p.add_argument("--tile", default="32x64")
-p.add_argument("--yb", type=int, default=32)
-p.add_argument("--xb", type=int, default=32)
-p.add_argument("--kb", type=int, default=4)
-a = p.parse_args()
-th, tw = (int(s) for s in a.tile.split("x"))
-
 dims = (d, hp, wp)
-cfg = dict(tile_hw=(th, tw), yb=a.yb, xb=a.xb, kb=a.kb)
-print("config:", cfg, flush=True)
 
+for spec in a.configs.split(";"):
+    parts = spec.split(",")
+    th, tw, yb, xb, kb = (int(s) for s in parts[:5])
+    prec = parts[5] if len(parts) > 5 else "highest"
+    idt = parts[6] if len(parts) > 6 else "bfloat16"
+    unroll = int(parts[7]) if len(parts) > 7 else 1
+    cfg = dict(tile_hw=(th, tw), yb=yb, xb=xb, kb=kb,
+               mlp_precision=prec, interp_dtype=idt, unroll=unroll)
+    print(f"--- config {spec}", flush=True)
 
-def tiled_image():
-    return prt.render_image_tiled(
-        mlp, vol3, pts_ndc_all, angle_all, zv_all,
-        image_hw=(H, W), dims=dims, weights_list=weights_list, **cfg)
+    def tiled_image():
+        return prt.render_image_tiled(
+            mlp, vol3, pts_ndc_all, angle_all, zv_all,
+            image_hw=(H, W), dims=dims, weights_list=weights_list, **cfg)
 
+    try:
+        t0 = time.perf_counter()
+        out = tiled_image()
+        if out["rgb"] is None:
+            print("    FALLBACK: tile locality rejected", flush=True)
+            continue
+        jax.block_until_ready(out["rgb"])
+        print(f"    compiled+ran in {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    except Exception as e:  # noqa: BLE001 — sweep survives bad configs
+        print(f"    FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
+        continue
 
-t0 = time.perf_counter()
-out = tiled_image()
-if out["rgb"] is None:
-    print("FALLBACK: tile locality rejected", flush=True)
-    sys.exit(1)
-jax.block_until_ready(out["rgb"])
-print(f"tiled kernel compiled+ran in {time.perf_counter()-t0:.1f}s",
-      flush=True)
+    errs = " ".join(
+        f"{k}={float(jnp.max(jnp.abs(out[k] - ref[k]))):.2e}"
+        for k in ("rgb", "depth", "acc"))
+    print(f"    max|err| vs XLA: {errs}", flush=True)
 
-for k in ("rgb", "depth", "acc"):
-    err = float(jnp.max(jnp.abs(out[k] - ref[k])))
-    print(f"  {k:6s} max|err| vs XLA = {err:.2e}", flush=True)
-
-iters = 5
-t0 = time.perf_counter()
-for _ in range(iters):
-    out = tiled_image()
-val = float(jnp.sum(out["rgb"]))
-tiled_ms = (time.perf_counter() - t0) / iters * 1e3
-print(f"tiled image: {tiled_ms:.1f} ms ({H*W/tiled_ms*1e3:.0f} rays/s) "
-      f"[checksum {val:.3f}]  speedup vs XLA: {xla_ms/tiled_ms:.2f}x",
-      flush=True)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = tiled_image()
+    val = float(jnp.sum(out["rgb"]))
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    line = (f"    {ms:.1f} ms/image  ({H*W/ms*1e3:.0f} rays/s) "
+            f"[checksum {val:.3f}]")
+    if xla_ms:
+        line += f"  speedup vs XLA: {xla_ms/ms:.2f}x"
+    print(line, flush=True)

@@ -150,3 +150,55 @@ def test_lpips_architecture(tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         LPIPS(str(tmp_path / "missing.npz"))
+
+
+@pytest.mark.slow
+def test_evaluator_tiled_render_path():
+    """The tiled fast path (render_mode='tiled') produces finite images
+    close to the exact chunked path on a scene whose geometry satisfies
+    tile locality (interpret mode on CPU; compiled natively on TPU)."""
+    from mvsnerf_tpu.eval.evaluate import Evaluator
+    from mvsnerf_tpu.models import init_mlp, init_mvsnet
+    args = config_parser(
+        cmd=f"--pad {PAD} --N_samples 32 --dataset_name llff "
+            "--render_mode tiled")
+    ds = FakeSceneDataset()
+    # the real checkpoint MLP: a random-init MLP's multiplicative bias
+    # cascade amplifies bf16 interp noise unboundedly on noise volumes
+    import os
+    ckpt = "/root/reference/ckpts/mvsnerf-v0.tar"
+    if os.path.exists(ckpt):
+        from mvsnerf_tpu.io.torch_ckpt import load_reference_checkpoint
+        mlp = load_reference_checkpoint(ckpt)["mlp"]
+    else:
+        mlp = init_mlp(jax.random.PRNGKey(1), "v0")
+    ev = Evaluator(args, ds, init_mvsnet(jax.random.PRNGKey(0)), mlp)
+    volume, imgs, near_far, pose_source = ev.build_volume()
+    tiled = ev.make_tiled_renderer(volume, imgs, near_far, pose_source)
+    sample = ds[0]
+    out = tiled(sample["rays"], H, W)
+    assert out is not None, "tile locality unexpectedly rejected"
+    rgb_t = np.asarray(out["rgb"])
+    assert np.isfinite(rgb_t).all()
+
+    # apples-to-apples reference: the exact XLA path over the SAME baked
+    # volume (use_color_volume semantics) — only bf16 interp noise remains
+    from mvsnerf_tpu.eval.evaluate import bake_color_volume
+    from mvsnerf_tpu.ops.geometry import get_ndc_coordinate
+    from mvsnerf_tpu.ops.sampling import ray_marcher
+    from mvsnerf_tpu.render.renderer import render_rays
+    import jax.numpy as jnp
+
+    vol20 = bake_color_volume(volume, imgs, pose_source, near_far, PAD)
+    pts, _, rays_d, z_vals = ray_marcher(
+        jax.random.PRNGKey(0), jnp.asarray(sample["rays"]), 32, perturb=0.0)
+    pts_ndc = get_ndc_coordinate(
+        pose_source["w2cs"][0], pose_source["intrinsics"][0], pts,
+        jnp.asarray([W - 1.0, H - 1.0]), near=near_far[0], far=near_far[1],
+        pad=PAD)
+    ref = render_rays(ev.mlp, vol20, None, pts_ndc, z_vals, rays_d,
+                      w2c_ref=pose_source["w2cs"][0],
+                      use_color_volume=True)
+    np.testing.assert_allclose(rgb_t, np.asarray(ref["rgb"]), atol=6e-2)
+    assert np.max(np.abs(np.asarray(out["depth"]) -
+                         np.asarray(ref["depth"]))) < 0.2

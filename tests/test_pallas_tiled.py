@@ -89,6 +89,22 @@ def test_tiled_render_matches_exact(mlp, scene):
                                np.asarray(ref["acc"]), atol=3e-5)
 
 
+def test_tiled_render_high_precision_mlp(mlp, scene):
+    """'high' = manual 3-pass bf16 split emulation: must track the exact
+    path to ~1e-3 even with f32 interpolation."""
+    from mvsnerf_tpu.ops import pallas_render_tiled as prt
+
+    vol, xyz, dirs, z_vals = scene
+    ref = exact_reference(mlp, vol, xyz, dirs, z_vals)
+    out = prt.render_image_tiled(
+        mlp, prt.prepare_volume(vol, dtype=jnp.float32), xyz, dirs,
+        z_vals, image_hw=IMAGE_HW, dims=DIMS, tile_hw=TILE_HW,
+        mlp_precision="high", interp_dtype="float32", unroll=4,
+        interpret=True, **KCFG)
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(ref["rgb"]), atol=3e-3)
+
+
 def test_tiled_render_white_bkgd_and_bf16(mlp, scene):
     from mvsnerf_tpu.ops import pallas_render_tiled as prt
 
