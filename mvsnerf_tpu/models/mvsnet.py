@@ -183,6 +183,16 @@ def depth_plane_values(near, far, n_planes: int = N_DEPTH_PLANES,
     return near * (1.0 - t) + far * t
 
 
+def resolve_featurenet_impl(impl: str, h: int, w: int) -> str:
+    """'auto' -> the space-to-depth packed FeatureNet
+    (models/featurenet_packed.py) when the image shape conforms
+    (H%4, W%4) — XLA lane-pads the plain net's 8/16-channel full-res
+    activations up to 16x in HBM. 'plain' forces the reference layout."""
+    if impl == "auto":
+        return "packed" if (h % 4 == 0 and w % 4 == 0) else "plain"
+    return impl
+
+
 def resolve_costreg_impl(impl: str, d: int, hp: int, wp: int) -> str:
     """'auto' -> the depth-packed U-Net (models/costreg_packed.py) when the
     shape conforms (D%16, H%8, W%8) — XLA lane-pads the plain U-Net's small
@@ -198,7 +208,8 @@ def mvsnet_apply(params, imgs, proj_mats, near_far, pad: int = 0,
                  lindisp: bool = False, n_planes: int = N_DEPTH_PLANES,
                  use_running_stats: bool = False,
                  warp_mode: str = "packed",
-                 costreg_impl: str = "auto"):
+                 costreg_impl: str = "auto",
+                 featurenet_impl: str = "auto"):
     """Build the neural encoding volume (models.py:895-932).
 
     Args:
@@ -210,6 +221,8 @@ def mvsnet_apply(params, imgs, proj_mats, near_far, pad: int = 0,
             gather fwd + banded splat bwd), 'banded' (dense banded matmuls),
             or 'pallas' (fused TPU kernel, ops/pallas_sweep.py).
         costreg_impl: 'auto' | 'plain' | 'packed' — see resolve_costreg_impl.
+        featurenet_impl: 'auto' | 'plain' | 'packed' — see
+            resolve_featurenet_impl.
 
     Returns:
         volume: (D, hp, wp, 8) encoding volume (channel-last),
@@ -217,8 +230,13 @@ def mvsnet_apply(params, imgs, proj_mats, near_far, pad: int = 0,
         depth_values: (D,).
     """
     V, H, W, _ = imgs.shape
-    feats = feature_net_apply(params["feature"], imgs,
-                              use_running_stats=use_running_stats)
+    if resolve_featurenet_impl(featurenet_impl, H, W) == "packed":
+        from .featurenet_packed import feature_net_packed_apply
+        feats = feature_net_packed_apply(
+            params["feature"], imgs, use_running_stats=use_running_stats)
+    else:
+        feats = feature_net_apply(params["feature"], imgs,
+                                  use_running_stats=use_running_stats)
     # resolve from the REAL feature-map shape (H or W not divisible by 4
     # makes the H//4 prediction disagree with the stride-4 conv output)
     hp, wp = feats.shape[1] + 2 * pad, feats.shape[2] + 2 * pad
