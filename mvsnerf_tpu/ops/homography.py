@@ -301,13 +301,28 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
     ref_cat = jnp.concatenate([ref_feat, ref_img], axis=-1)  # (hp, wp, .)
     ref_p = jnp.pad(ref_cat, ((0, 0), (0, 0), (0, cp - C - Ci)))
 
+    # Backward accumulation grouping (ops/pallas_sweep._fused_bwd_rule):
+    # 1 = single shared VMEM accumulator (sequential chain); G > 1 splits
+    # the grid into G independent partial accumulators (parallel axis,
+    # summed in XLA). Tuning override, validated here like SWEEP_RB.
+    _grp_env = _os.environ.get("MVSNERF_SWEEP_BWD_GROUPS")
+    bwd_groups = int(_grp_env) if _grp_env else 1
+    if bwd_groups < 1:
+        raise ValueError(
+            f"MVSNERF_SWEEP_BWD_GROUPS={bwd_groups} must be >= 1")
+
     def make_branch(rb, band):
         bpp = hp // rb
         m = rb * wp
+        nblk = D * bpp
+        if bwd_groups > 1 and nblk % bwd_groups:
+            raise ValueError(
+                f"MVSNERF_SWEEP_BWD_GROUPS={bwd_groups} must divide the "
+                f"block count {nblk} (= D {D} * row blocks {bpp})")
         refb = ref_p.reshape(bpp, rb, wp, cp).transpose(0, 3, 1, 2)
         refb = refb.reshape(bpp, cp, m)
         static = _Static(band=band, m=m, bpp=bpp, c_feat=C, c_img=Ci,
-                         cc=cc)
+                         cc=cc, bwd_groups=bwd_groups)
 
         def branch(srcs_cw, xs, ys):
             cost_cm = cost_volume_fused_pallas(srcs_cw, refb, xs, ys,

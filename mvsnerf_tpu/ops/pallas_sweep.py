@@ -430,19 +430,24 @@ def _fused_fwd_kernel(x_ref, y_ref, refb_ref, *rest, h, w, band, cp,
 
 
 def _fused_bwd_kernel(x_ref, y_ref, refb_ref, *rest, h, w, band, cp,
-                      n_src, bpp, c_feat, c_img):
+                      n_src, bpp, c_feat, c_img, bpg=None):
     src_refs = rest[:n_src]
     g_ref = rest[n_src]
     gsrc_refs = rest[n_src + 1:2 * n_src + 1]
     grefb_ref = rest[2 * n_src + 1]
-    i = pl.program_id(0)
+    if bpg is None:                       # 1-D grid: one global accumulator
+        i = pl.program_id(0)
+        first = i == 0
+    else:                                 # 2-D grid: (group, block-in-group)
+        i = pl.program_id(0) * bpg + pl.program_id(1)
+        first = pl.program_id(1) == 0
     rowblock = jax.lax.rem(i, bpp)
 
-    @pl.when(i == 0)
+    @pl.when(first)
     def _():
         for v in range(n_src):
-            gsrc_refs[v][:, :, :] = jnp.zeros_like(gsrc_refs[v])
-        grefb_ref[:, :, :] = jnp.zeros_like(grefb_ref)
+            gsrc_refs[v][...] = jnp.zeros_like(gsrc_refs[v])
+        grefb_ref[...] = jnp.zeros_like(grefb_ref)
 
     ref_cm = refb_ref[pl.ds(rowblock, 1)].reshape(refb_ref.shape[1],
                                                   refb_ref.shape[2])
@@ -478,14 +483,21 @@ def _fused_bwd_kernel(x_ref, y_ref, refb_ref, *rest, h, w, band, cp,
         gband = jax.lax.dot_general(
             gt, axw_t, (((1,), (1,)), ((), ())),
             precision=INTERP, preferred_element_type=jnp.float32)
-        gsrc_refs[v][pl.ds(ymin, band)] += gband.reshape(band, cp, w)
+        upd = gband.reshape(band, cp, w)
+        if bpg is None:
+            gsrc_refs[v][pl.ds(ymin, band)] += upd
+        else:
+            gsrc_refs[v][0, pl.ds(ymin, band)] += upd
 
     g_ref_feat = g_var * (two_invc * (ref_cm[:c_feat] - mean))
     g_ref_img = g_ref[0:c_img, :]
     g_ref_cat = jnp.concatenate(
         [g_ref_feat, g_ref_img,
          jnp.zeros((cp - c_feat - c_img, m), jnp.float32)], axis=0)
-    grefb_ref[pl.ds(rowblock, 1)] += g_ref_cat[None]
+    if bpg is None:
+        grefb_ref[pl.ds(rowblock, 1)] += g_ref_cat[None]
+    else:
+        grefb_ref[0, pl.ds(rowblock, 1)] += g_ref_cat[None]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -571,34 +583,77 @@ def _fused_bwd_rule(static, interpret, res, g):
     n_src, h, cp, w = srcs_cw.shape
     n = xs.shape[2]
     m = static["m"]
-    out_shapes = tuple(
-        [jax.ShapeDtypeStruct((h, cp, w), jnp.float32)] * n_src
-        + [jax.ShapeDtypeStruct(refb.shape, jnp.float32)])
-    out_specs = tuple(
-        [pl.BlockSpec((h, cp, w), lambda i: (0, 0, 0),
-                      memory_space=pltpu.VMEM)] * n_src
-        + [pl.BlockSpec(refb.shape, lambda i: (0, 0, 0),
-                        memory_space=pltpu.VMEM)])
-    kernel = functools.partial(
-        _fused_bwd_kernel, h=h, w=w, band=static["band"], cp=cp,
-        n_src=n_src, bpp=static["bpp"], c_feat=static["c_feat"],
-        c_img=static["c_img"])
-    in_specs = _fused_common_specs(srcs_cw, refb, m) + [
-        pl.BlockSpec((static["cc"], m), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
-    ]
+    groups = static.get("bwd_groups", 1)
+    nblk = n // m
+    kernel_kw = dict(h=h, w=w, band=static["band"], cp=cp, n_src=n_src,
+                     bpp=static["bpp"], c_feat=static["c_feat"],
+                     c_img=static["c_img"])
+    if groups > 1:
+        # Per-group partial accumulators over a parallel leading grid axis:
+        # the single shared accumulator chains every block sequentially
+        # ("arbitrary" semantics); G independent accumulators let Mosaic
+        # overlap the finished group's output DMA with the next group's
+        # compute. The G partials are summed in XLA afterwards.
+        assert nblk % groups == 0, (nblk, groups)
+        bpg = nblk // groups
+        out_shapes = tuple(
+            [jax.ShapeDtypeStruct((groups, h, cp, w), jnp.float32)] * n_src
+            + [jax.ShapeDtypeStruct((groups,) + refb.shape, jnp.float32)])
+        out_specs = tuple(
+            [pl.BlockSpec((1, h, cp, w), lambda gi, j: (gi, 0, 0, 0),
+                          memory_space=pltpu.VMEM)] * n_src
+            + [pl.BlockSpec((1,) + refb.shape,
+                            lambda gi, j: (gi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)])
+        blk = lambda gi, j: gi * bpg + j  # noqa: E731
+        in_specs = [
+            pl.BlockSpec((n_src, 1, m), lambda gi, j: (0, 0, blk(gi, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_src, 1, m), lambda gi, j: (0, 0, blk(gi, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(refb.shape, lambda gi, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((h, cp, w), lambda gi, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_src)
+        ] + [
+            pl.BlockSpec((static["cc"], m), lambda gi, j: (0, blk(gi, j)),
+                         memory_space=pltpu.VMEM),
+        ]
+        grid = (groups, bpg)
+        semantics = ("parallel", "arbitrary")
+        kernel_kw["bpg"] = bpg
+    else:
+        out_shapes = tuple(
+            [jax.ShapeDtypeStruct((h, cp, w), jnp.float32)] * n_src
+            + [jax.ShapeDtypeStruct(refb.shape, jnp.float32)])
+        out_specs = tuple(
+            [pl.BlockSpec((h, cp, w), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)] * n_src
+            + [pl.BlockSpec(refb.shape, lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)])
+        in_specs = _fused_common_specs(srcs_cw, refb, m) + [
+            pl.BlockSpec((static["cc"], m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        grid = (nblk,)
+        semantics = ("arbitrary",)
+    kernel = functools.partial(_fused_bwd_kernel, **kernel_kw)
     outs = pl.pallas_call(
         kernel,
-        grid=(n // m,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=semantics,
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=_auto_interpret(interpret),
     )(xs, ys, refb, *[srcs_cw[v] for v in range(n_src)], g)
+    if groups > 1:
+        outs = [o.sum(axis=0) for o in outs]
     g_srcs = jnp.stack(outs[:n_src], axis=0)
     g_refb = outs[n_src]
     return (g_srcs, g_refb, jnp.zeros_like(xs), jnp.zeros_like(ys))

@@ -238,3 +238,29 @@ def test_cost_volume_fused_kernel_backward():
     for r, o, name in zip(g_ref, g_out, ("d_feats", "d_imgs")):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    atol=2e-3, rtol=1e-3, err_msg=name)
+
+
+def test_cost_volume_fused_kernel_backward_grouped(monkeypatch):
+    """MVSNERF_SWEEP_BWD_GROUPS > 1: per-group partial accumulators summed
+    in XLA must equal the single-accumulator backward exactly."""
+    from mvsnerf_tpu.ops.homography import build_cost_volume
+
+    h, w, c, d, pad, V = 26, 26, 8, 4, 3, 3
+    feats, imgs, projs, depths = _scene(V, h, w, c, d)
+
+    def loss(f, im):
+        cost = build_cost_volume(im, f, projs, depths, pad=pad,
+                                 warp_fwd_mode="pallas", warp_band=16)[0]
+        return jnp.sum(cost ** 2 + 0.3 * cost)
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(feats, imgs)
+    monkeypatch.setenv("MVSNERF_SWEEP_BWD_GROUPS", "4")
+    g_out = jax.grad(loss, argnums=(0, 1))(feats, imgs)
+    for r, o, name in zip(g_ref, g_out, ("d_feats", "d_imgs")):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   atol=1e-5, err_msg=name)
+
+    monkeypatch.setenv("MVSNERF_SWEEP_BWD_GROUPS", "7")  # !| block count
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        jax.grad(loss, argnums=(0, 1))(feats, imgs)
