@@ -27,45 +27,8 @@ from .metrics import psnr as psnr_fn, ssim as ssim_fn, abs_error, \
     acc_threshold
 
 
-def _pick_tile(H, W, target=2048):
-    """Largest (th, tw) image tile dividing (H, W) with th*tw <= target
-    and tw >= th (lane-friendly); None when the image tiles too poorly
-    for the fused kernel (tiny ragged sizes)."""
-    best = None
-    for th in (64, 32, 16, 8):
-        if H % th:
-            continue
-        for tw in (128, 64, 32, 16, 8):
-            if W % tw or th * tw > target or tw < th:
-                continue
-            r = th * tw
-            if best is None or r > best[0]:
-                best = (r, (th, tw))
-            break
-    if best is None or best[0] < 256:
-        return None
-    return best[1]
-
-
-def bake_color_volume(volume, imgs, pose_source, near_far, pad):
-    """Append per-view reprojected colors+masks to the encoding volume at
-    every voxel center (the reference's use_color_volume layout,
-    train_mvs_nerf_finetuning_pl.py:72-80): (D, hp, wp, 8) -> (..., 20)."""
-    from ..render.renderer import build_color_volume
-    from ..train.finetune import frustum_point_volume
-
-    d, hp, wp, _ = volume.shape
-    intr_ref = pose_source["intrinsics"][0]
-    nf = jnp.asarray(near_far, jnp.float32)
-    intrinsic_s4 = intr_ref / jnp.asarray([[4.0], [4.0], [1.0]])
-    c2w_ref = jnp.linalg.inv(pose_source["w2cs"][0])
-    vox = frustum_point_volume(hp - 2 * pad, wp - 2 * pad, d, pad, nf,
-                               intrinsic_s4, c2w_ref)
-    color = build_color_volume(
-        vox.reshape(d, -1, 3), pose_source["w2cs"],
-        pose_source["intrinsics"], imgs, with_mask=True
-    ).reshape(d, hp, wp, -1)
-    return jnp.concatenate([volume, color], -1)
+# re-exported for bench.py / tests (implementation moved to render/tiled.py)
+from ..render.tiled import bake_color_volume  # noqa: F401,E402
 
 
 def nearest_source_views(tgt_c2w, train_c2ws, n: int = 3):
@@ -133,61 +96,13 @@ class Evaluator:
 
     def make_tiled_renderer(self, volume, imgs, near_far, pose_source):
         """Fast full-image render path: bake per-view colors into the
-        encoding volume (the reference's use_color_volume layout,
-        train_mvs_nerf_finetuning_pl.py:72-80) and render with the fused
-        tiled Pallas kernel (ops/pallas_render_tiled.py). Returns
-        fn(rays, H, W) -> dict or None (None = tile locality failed; the
-        caller falls back to the exact chunked path). v0-MLP only."""
-        args = self.args
-        from ..ops import pallas_render_tiled as prt
-        if args.net_type != "v0" or \
-                args.N_samples % prt.COLS_PER_BLOCK:
-            return lambda rays, H, W: None
-        from ..render.renderer import gen_dir_feature
-
-        d, hp, wp, c = volume.shape
-        # window sizes adapted to the volume (yb * kb == 128 contract)
-        yb = 32 if hp >= 32 else (16 if hp >= 16 else 8)
-        xb = 32
-        while xb > max(wp, 4):
-            xb //= 2
-        if hp < 8 or wp < 4:
-            return lambda rays, H, W: None
-        w2c_ref = pose_source["w2cs"][0]
-        intr_ref = pose_source["intrinsics"][0]
-        nf = jnp.asarray(near_far, jnp.float32)
-        if c == 8:
-            volume = bake_color_volume(volume, imgs, pose_source,
-                                       near_far, args.pad)
-        vol3 = prt.prepare_volume(volume)
-        weights = prt.pack_v0_weights_padded(self.mlp)
-
-        @jax.jit
-        def prep(r, inv_scale):
-            pts, _, rays_d, z_vals = ray_marcher(
-                jax.random.PRNGKey(0), r, args.N_samples, perturb=0.0,
-                lindisp=args.use_disp)
-            pts_ndc = get_ndc_coordinate(w2c_ref, intr_ref, pts, inv_scale,
-                                         near=nf[0], far=nf[1],
-                                         pad=args.pad)
-            cos = jnp.linalg.norm(rays_d, axis=-1)
-            angle = gen_dir_feature(w2c_ref, rays_d / cos[..., None])
-            return pts_ndc, angle, z_vals
-
-        def render(rays, H, W):
-            tile = _pick_tile(H, W)
-            if tile is None:
-                return None
-            pts_ndc, angle, z_vals = prep(
-                jnp.asarray(rays), jnp.asarray([W - 1.0, H - 1.0]))
-            return prt.render_image_tiled(
-                self.mlp, vol3, pts_ndc, angle, z_vals, image_hw=(H, W),
-                dims=(d, hp, wp), tile_hw=tile, yb=yb, kb=128 // yb,
-                xb=xb, white_bkgd=args.white_bkgd, weights_list=weights,
-                fallback_fn=lambda: None,
-                interpret=jax.default_backend() == "cpu")
-
-        return render
+        encoding volume and render with the fused tiled Pallas kernel.
+        Returns fn(rays, H, W) -> dict or None (None = tile locality
+        failed; the caller falls back to the exact chunked path).
+        Shared construction: render/tiled.py."""
+        from ..render.tiled import make_tiled_renderer
+        return make_tiled_renderer(self.args, self.mlp, volume, imgs,
+                                   near_far, pose_source)
 
     def evaluate(self, max_images: int | None = None, lpips_fn=None,
                  save_dir: str | None = None, chunk: int = 5120,

@@ -64,7 +64,11 @@ def render_video(system, poses, h: int, w: int, focal, near_far,
         c2w4[:3] = np.asarray(c2w)[:3]
         rays = rays_for_pose(h, w, focal, center, c2w4, near_far[0],
                              near_far[1])
-        out = system.render_image(jnp.asarray(rays), chunk=chunk)
+        try:
+            out = system.render_image(jnp.asarray(rays), chunk=chunk,
+                                      image_hw=(h, w))
+        except TypeError:  # systems without a tiled fast path
+            out = system.render_image(jnp.asarray(rays), chunk=chunk)
         rgb = np.clip(np.asarray(out["rgb"]).reshape(h, w, 3), 0, 1)
         if with_depth_panel:
             dvis, _ = visualize_depth(

@@ -1,0 +1,124 @@
+"""Shared construction of the fused tiled full-image renderer
+(ops/pallas_render_tiled.py) from a system's state: bake per-view colors
+into the encoding volume (the reference's use_color_volume layout,
+train_mvs_nerf_finetuning_pl.py:72-80), size the kernel windows to the
+volume, and return a `fn(rays, H, W) -> dict | None` closure (None =
+image doesn't tile / locality rejected; callers fall back to the exact
+chunked path). Used by the eval CLI (--render_mode tiled) and the
+fine-tune/video render path. v0-MLP only."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometry import get_ndc_coordinate
+from ..ops.sampling import ray_marcher, ray_marcher_fine
+
+
+def pick_tile(H, W, target=2048):
+    """Largest (th, tw) image tile dividing (H, W) with th*tw <= target
+    and tw >= th (lane-friendly); None when the image tiles too poorly
+    for the fused kernel (tiny ragged sizes)."""
+    best = None
+    for th in (64, 32, 16, 8):
+        if H % th:
+            continue
+        for tw in (128, 64, 32, 16, 8):
+            if W % tw or th * tw > target or tw < th:
+                continue
+            r = th * tw
+            if best is None or r > best[0]:
+                best = (r, (th, tw))
+            break
+    if best is None or best[0] < 256:
+        return None
+    return best[1]
+
+
+def bake_color_volume(volume, imgs, pose_source, near_far, pad):
+    """Append per-view reprojected colors+masks to the encoding volume at
+    every voxel center (the reference's use_color_volume layout,
+    train_mvs_nerf_finetuning_pl.py:72-80): (D, hp, wp, 8) -> (..., 20)."""
+    from .renderer import build_color_volume
+    from ..train.finetune import frustum_point_volume
+
+    d, hp, wp, _ = volume.shape
+    intr_ref = pose_source["intrinsics"][0]
+    nf = jnp.asarray(near_far, jnp.float32)
+    intrinsic_s4 = intr_ref / jnp.asarray([[4.0], [4.0], [1.0]])
+    c2w_ref = jnp.linalg.inv(pose_source["w2cs"][0])
+    vox = frustum_point_volume(hp - 2 * pad, wp - 2 * pad, d, pad, nf,
+                               intrinsic_s4, c2w_ref)
+    color = build_color_volume(
+        vox.reshape(d, -1, 3), pose_source["w2cs"],
+        pose_source["intrinsics"], imgs, with_mask=True
+    ).reshape(d, hp, wp, -1)
+    return jnp.concatenate([volume, color], -1)
+
+
+def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
+                        density_volume=None):
+    """Build the tiled-render closure, or a None-returning one when the
+    configuration can't use the fused kernel (non-v0 MLP, sample count
+    not a multiple of the kernel's column block, volume too small)."""
+    from ..ops import pallas_render_tiled as prt
+
+    n_total = args.N_samples + (
+        args.N_importance if density_volume is not None else 0)
+    if args.net_type != "v0" or n_total % prt.COLS_PER_BLOCK:
+        return lambda rays, H, W: None
+    from .renderer import gen_dir_feature
+
+    d, hp, wp, c = volume.shape
+    # window sizes adapted to the volume (yb * kb == 128 contract)
+    yb = 32 if hp >= 32 else (16 if hp >= 16 else 8)
+    xb = 32
+    while xb > max(wp, 4):
+        xb //= 2
+    if hp < 8 or wp < 4:
+        return lambda rays, H, W: None
+    w2c_ref = pose_source["w2cs"][0]
+    intr_ref = pose_source["intrinsics"][0]
+    nf = jnp.asarray(near_far, jnp.float32)
+    if c == 8:
+        volume = bake_color_volume(volume, imgs, pose_source, near_far,
+                                   args.pad)
+    vol3 = prt.prepare_volume(volume)
+    weights = prt.pack_v0_weights_padded(mlp)
+
+    @jax.jit
+    def prep(r, inv_scale):
+        pts, _, rays_d, z_vals = ray_marcher(
+            jax.random.PRNGKey(0), r, args.N_samples, perturb=0.0,
+            lindisp=args.use_disp)
+
+        def ndc(p):
+            return get_ndc_coordinate(w2c_ref, intr_ref, p, inv_scale,
+                                      near=nf[0], far=nf[1], pad=args.pad,
+                                      lindisp=args.use_disp)
+
+        pts_ndc = ndc(pts)
+        if density_volume is not None and args.N_importance > 0:
+            pts, _, rays_d, z_vals = ray_marcher_fine(
+                jax.random.PRNGKey(1), r, density_volume, z_vals, pts_ndc,
+                args.N_importance)
+            pts_ndc = ndc(pts)
+        cos = jnp.linalg.norm(rays_d, axis=-1)
+        angle = gen_dir_feature(w2c_ref, rays_d / cos[..., None])
+        return pts_ndc, angle, z_vals
+
+    def render(rays, H, W):
+        tile = pick_tile(H, W)
+        if tile is None:
+            return None
+        pts_ndc, angle, z_vals = prep(
+            jnp.asarray(rays), jnp.asarray([W - 1.0, H - 1.0]))
+        return prt.render_image_tiled(
+            mlp, vol3, pts_ndc, angle, z_vals, image_hw=(H, W),
+            dims=(d, hp, wp), tile_hw=tile, yb=yb, kb=128 // yb,
+            xb=xb, white_bkgd=args.white_bkgd, weights_list=weights,
+            fallback_fn=lambda: None,
+            interpret=jax.default_backend() == "cpu")
+
+    return render

@@ -272,7 +272,8 @@ class FinetuneSystem:
         gt = np.asarray(sample["rgbs"])
         h, w = gt.shape[:2]
         out = self.render_image(sample["rays"],
-                                chunk=chunk or self.args.chunk * 8)
+                                chunk=chunk or self.args.chunk * 8,
+                                image_hw=(h, w))
         pred = np.clip(np.asarray(out["rgb"]).reshape(h, w, 3), 0, 1)
         val_psnr = float(psnr(pred, gt))
         logger.log_scalars(step_i, {"val/PSNR": val_psnr})
@@ -282,8 +283,22 @@ class FinetuneSystem:
 
     # --------------------------------------------------------- rendering ---
 
-    def render_image(self, rays, chunk: int = 8192):
-        """Full-image render from a flat (N, 8) ray buffer."""
+    def render_image(self, rays, chunk: int = 8192, image_hw=None):
+        """Full-image render from a flat (N, 8) ray buffer.
+
+        With `--render_mode tiled` and a known image shape, the fused
+        tiled Pallas kernel renders over the color-baked volume
+        (render/tiled.py; ~13x the chunked path on TPU); the exact
+        chunked path is the fallback."""
+        if image_hw is not None and \
+                getattr(self.args, "render_mode", "chunked") == "tiled":
+            from ..render.tiled import make_tiled_renderer
+            out = make_tiled_renderer(
+                self.args, self.params["mlp"], self.params["volume"],
+                self.imgs, self.near_far, self.pose_source,
+                density_volume=self.density_volume)(rays, *image_hw)
+            if out is not None:
+                return out
         n = rays.shape[0]
         key = jax.random.PRNGKey(0)
 

@@ -194,3 +194,29 @@ def test_fusion_system(tmp_path):
     assert np.mean(losses[-3:]) <= np.mean(losses[:3]) * 1.05
     out = sys_.render_image(ds.all_rays[:200], chunk=128)
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_finetune_tiled_render_image():
+    """render_image with --render_mode tiled (and a sample count that
+    satisfies the kernel's column block) stays close to the exact chunked
+    path over the same baked volume (use_color_volume so both paths read
+    identical 20ch features; perturb 0 so z sampling matches)."""
+    from mvsnerf_tpu.train import FinetuneSystem
+    ds = FakeSceneDataset()
+    args = _args("--use_color_volume --N_samples 32 --perturb 0 "
+                 "--render_mode tiled")
+    sys_ = FinetuneSystem(args, ds)
+    import os
+    ckpt = "/root/reference/ckpts/mvsnerf-v0.tar"
+    if os.path.exists(ckpt):
+        # random-init MLPs amplify bf16 interp noise unboundedly on noise
+        # volumes; the real checkpoint keeps the comparison meaningful
+        from mvsnerf_tpu.io.torch_ckpt import load_reference_checkpoint
+        sys_.params["mlp"] = load_reference_checkpoint(ckpt)["mlp"]
+        sys_._build_step()
+    rays = ds.all_rays[:H * W]
+    out_t = sys_.render_image(rays, image_hw=(H, W))
+    out_c = sys_.render_image(rays, chunk=H * W)
+    rgb_t = np.asarray(out_t["rgb"]).reshape(-1, 3)
+    assert np.isfinite(rgb_t).all()
+    np.testing.assert_allclose(rgb_t, np.asarray(out_c["rgb"]), atol=6e-2)
