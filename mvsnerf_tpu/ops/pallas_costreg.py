@@ -192,6 +192,265 @@ def pad_dh(x):
     return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
+# ------------------------------------------------------------- stride 2 ----
+
+
+def split_w(x_pad):
+    """Even/odd lane split for the stride-2 kernels (XLA relayout; fused
+    into the producer where possible): (C, D+2, H+2, W) -> two
+    (C, D+2, H+2, W/2)."""
+    return x_pad[..., 0::2], x_pad[..., 1::2]
+
+
+def _make_s2_kernel(shp, prec):
+    """Stride-2 forward. Column taps map to parity planes: abs col
+    2w+kw-1 is x_odd[w-1] (kw=0, right-shift), x_even[w] (kw=1),
+    x_odd[w] (kw=2)."""
+    (cin, cout, P, RH, W2, SB, RB) = shp
+    win = 2 * P + 1
+    rwin = 2 * RH + 1
+    k0 = cin * win
+
+    def kernel(a_ref, xe_hbm, xo_hbm, out_ref, we, wo, sem):
+        s = pl.program_id(0)
+        r = pl.program_id(1)
+        i = s * RB + r
+        nblk = SB * RB
+
+        def dma(slot, si, ri, hbm, buf, t):
+            return pltpu.make_async_copy(
+                hbm.at[:, pl.ds(2 * si * P, win),
+                       pl.ds(2 * ri * RH, rwin), :],
+                buf.at[slot], sem.at[slot, t])
+
+        def start(slot, si, ri):
+            dma(slot, si, ri, xe_hbm, we, 0).start()
+            dma(slot, si, ri, xo_hbm, wo, 1).start()
+
+        def wait(slot, si, ri):
+            dma(slot, si, ri, xe_hbm, we, 0).wait()
+            dma(slot, si, ri, xo_hbm, wo, 1).wait()
+
+        @pl.when(i == 0)
+        def _():
+            start(0, s, r)
+
+        nr = jnp.where(r + 1 < RB, r + 1, 0)
+        ns = jnp.where(r + 1 < RB, s, s + 1)
+
+        @pl.when(i + 1 < nblk)
+        def _():
+            start((i + 1) % 2, ns, nr)
+
+        wait(i % 2, s, r)
+        vwe, vwo = we[i % 2], wo[i % 2]
+
+        for rh in range(RH):
+            acc = jnp.zeros((cout * P, W2), jnp.float32)
+            for kh in range(3):
+                be = vwe[:, :, 2 * rh + kh, :].reshape(k0, W2)
+                bo = vwo[:, :, 2 * rh + kh, :].reshape(k0, W2)
+                dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+                    a, b, (((1,), (0,)), ((), ())), precision=prec,
+                    preferred_element_type=jnp.float32)
+                acc = (acc + _shift_lanes(dot(a_ref[kh, 0], bo), 0)
+                       + dot(a_ref[kh, 1], be) + dot(a_ref[kh, 2], bo))
+            out_ref[:, :, rh, :] = acc.reshape(cout, P, W2)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("p", "rh", "interpret",
+                                             "precision"))
+def conv3d_s2_dband(xe, xo, a, *, p: int = 8, rh: int = 8,
+                    interpret: bool = False, precision=None):
+    """Stride-2 3x3x3 conv (pad 1), channel-major.
+
+    Args:
+        xe, xo: (Cin, D+2, H+2, W/2) even/odd lane splits of the padded
+            input (`split_w(pad_dh(x))`).
+        a: (3, 3, Cout*P, Cin*(2P+1)) from `build_a(kernel, p, stride=2)`.
+
+    Returns:
+        (Cout, D/2, H/2, W/2) float32. (D/2) % p == 0, (H/2) % rh == 0.
+    """
+    cin, d2, h2, w2 = xe.shape
+    do, ho = (d2 - 2) // 2, (h2 - 2) // 2
+    assert do % p == 0 and ho % rh == 0, (do, ho, p, rh)
+    win = 2 * p + 1
+    cout = a.shape[2] // p
+    assert a.shape == (3, 3, cout * p, cin * win), (a.shape, cin, win)
+    sb, rb = do // p, ho // rh
+
+    kern = _make_s2_kernel((cin, cout, p, rh, w2, sb, rb),
+                           INTERP if precision is None else precision)
+    return pl.pallas_call(
+        kern,
+        grid=(sb, rb),
+        in_specs=[
+            pl.BlockSpec(a.shape, lambda s, r: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((cout, p, rh, w2), lambda s, r: (0, s, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cout, do, ho, w2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, cin, win, 2 * rh + 1, w2), xe.dtype),
+            pltpu.VMEM((2, cin, win, 2 * rh + 1, w2), xe.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(a, xe, xo)
+
+
+# ----------------------------------------------------------- transposed ----
+
+
+def _sel_band_up(P: int):
+    """S_up[od, q, kd] (2P, P+1, 3) for the stored (pre-flipped) deconv
+    kernel semantics out[o] = sum_kd K'[kd] x[(o-1+kd)/2] (layers.py
+    conv_transpose3d): od=2p -> (q=p, kd=1); od=2p+1 -> (q=p, kd=0),
+    (q=p+1, kd=2)."""
+    s = np.zeros((2 * P, P + 1, 3), np.float32)
+    for p in range(P):
+        s[2 * p, p, 1] = 1.0
+        s[2 * p + 1, p, 0] = 1.0
+        s[2 * p + 1, p + 1, 2] = 1.0
+    return s
+
+
+def build_a_up(kernel, P: int):
+    """Stored deconv (3,3,3,Cin,Cout) -> A (3, 3, Cout*2P, Cin*(P+1))."""
+    cin, cout = kernel.shape[3], kernel.shape[4]
+    s = jnp.asarray(_sel_band_up(P))
+    a = jnp.einsum("dqk,khwio->hwodiq", s, kernel,
+                   preferred_element_type=jnp.float32)
+    return a.reshape(3, 3, cout * 2 * P, cin * (P + 1))
+
+
+def _make_up_kernel(shp, prec):
+    """Transposed stride-2 forward: out rows/planes interleave in-kernel
+    (parity in the banded A and the kh pairing); out column parities come
+    out as two W-wide tensors, interleaved in XLA."""
+    (cin, cout, P, RH, W, SB, RB) = shp
+    win = P + 1
+    rwin = RH + 1
+    k0 = cin * win
+    m = cout * 2 * P
+
+    def kernel(a_ref, x_hbm, oute_ref, outo_ref, wbuf, sem):
+        s = pl.program_id(0)
+        r = pl.program_id(1)
+        i = s * RB + r
+        nblk = SB * RB
+
+        def dma(slot, si, ri):
+            return pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(si * P + 1, win),
+                         pl.ds(ri * RH + 1, rwin), :],
+                wbuf.at[slot], sem.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            dma(0, s, r).start()
+
+        nr = jnp.where(r + 1 < RB, r + 1, 0)
+        ns = jnp.where(r + 1 < RB, s, s + 1)
+
+        @pl.when(i + 1 < nblk)
+        def _():
+            dma((i + 1) % 2, ns, nr).start()
+
+        dma(i % 2, s, r).wait()
+        window = wbuf[i % 2]                      # (cin, P+1, RH+1, W)
+
+        dot = lambda a, b: jax.lax.dot_general(   # noqa: E731
+            a, b, (((1,), (0,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+
+        for rh in range(RH):
+            for ph in range(2):
+                # (kh, window-row) pairs feeding output row 2rh+ph
+                rows = [(1, rh)] if ph == 0 else [(0, rh), (2, rh + 1)]
+                acc_e = jnp.zeros((m, W), jnp.float32)
+                acc_o = jnp.zeros((m, W), jnp.float32)
+                for kh, wr in rows:
+                    b = window[:, :, wr, :].reshape(k0, W)
+                    acc_e = acc_e + dot(a_ref[kh, 1], b)
+                    acc_o = (acc_o + dot(a_ref[kh, 0], b)
+                             + _shift_lanes(dot(a_ref[kh, 2], b), 2))
+                oute_ref[:, :, 2 * rh + ph, :] = acc_e.reshape(cout,
+                                                               2 * P, W)
+                outo_ref[:, :, 2 * rh + ph, :] = acc_o.reshape(cout,
+                                                               2 * P, W)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("p", "rh", "interpret",
+                                             "precision"))
+def conv3d_up_dband(x_pad, a, *, p: int = 8, rh: int = 8,
+                    interpret: bool = False, precision=None):
+    """Transposed stride-2 conv (torch ConvTranspose3d(3, s2, p1, op1)
+    semantics with the stored pre-flipped kernel), channel-major.
+
+    Args:
+        x_pad: (Cin, D+2, H+2, W) — `pad_dh(x)` (only the high halo is
+            read; the shared layout keeps one padded buffer per tensor).
+        a: (3, 3, Cout*2P, Cin*(P+1)) from `build_a_up`.
+
+    Returns:
+        (out_even, out_odd): (Cout, 2D, 2H, W) column-parity pair;
+        interleave with `interleave_w`. D % p == 0, H % rh == 0.
+    """
+    cin, d2, h2, w = x_pad.shape
+    d, h = d2 - 2, h2 - 2
+    assert d % p == 0 and h % rh == 0, (d, h, p, rh)
+    win = p + 1
+    cout = a.shape[2] // (2 * p)
+    assert a.shape == (3, 3, cout * 2 * p, cin * win), (a.shape,)
+    sb, rb = d // p, h // rh
+
+    kern = _make_up_kernel((cin, cout, p, rh, w, sb, rb),
+                           INTERP if precision is None else precision)
+    out_sds = jax.ShapeDtypeStruct((cout, 2 * d, 2 * h, w), jnp.float32)
+    out_spec = pl.BlockSpec((cout, 2 * p, 2 * rh, w),
+                            lambda s, r: (0, s, r, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(sb, rb),
+        in_specs=[
+            pl.BlockSpec(a.shape, lambda s, r: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(out_sds, out_sds),
+        scratch_shapes=[
+            pltpu.VMEM((2, cin, win, rh + 1, w), x_pad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(a, x_pad)
+
+
+def interleave_w(out_e, out_o):
+    """(C, D, H, W) even/odd column pair -> (C, D, H, 2W)."""
+    c, d, h, w = out_e.shape
+    return jnp.stack([out_e, out_o], axis=-1).reshape(c, d, h, 2 * w)
+
+
 # ---------------------------------------------------------------- wgrad ----
 
 
@@ -293,6 +552,102 @@ def _wgrad_extract(wg, cin, cout, P: int, stride: int = 1):
                       preferred_element_type=jnp.float32)
 
 
+def _make_s2_wgrad_kernel(shp, prec):
+    """WG[kh, kw, (ci, q), (co, p)] accumulation for the stride-2 conv:
+    tap kw pairs B_even (kw=1) / B_odd columns with gy columns per the
+    forward's shift rules."""
+    (cin, cout, P, RH, W2, SB, RB) = shp
+    win = 2 * P + 1
+    rwin = 2 * RH + 1
+    k0 = cin * win
+
+    def kernel(gy_ref, xe_hbm, xo_hbm, wg_ref, we, wo, sem):
+        s = pl.program_id(0)
+        r = pl.program_id(1)
+        i = s * RB + r
+        nblk = SB * RB
+
+        def dma(slot, si, ri, hbm, buf, t):
+            return pltpu.make_async_copy(
+                hbm.at[:, pl.ds(2 * si * P, win),
+                       pl.ds(2 * ri * RH, rwin), :],
+                buf.at[slot], sem.at[slot, t])
+
+        def start(slot, si, ri):
+            dma(slot, si, ri, xe_hbm, we, 0).start()
+            dma(slot, si, ri, xo_hbm, wo, 1).start()
+
+        @pl.when(i == 0)
+        def _():
+            start(0, s, r)
+            wg_ref[...] = jnp.zeros_like(wg_ref)
+
+        nr = jnp.where(r + 1 < RB, r + 1, 0)
+        ns = jnp.where(r + 1 < RB, s, s + 1)
+
+        @pl.when(i + 1 < nblk)
+        def _():
+            start((i + 1) % 2, ns, nr)
+
+        dma(i % 2, s, r, xe_hbm, we, 0).wait()
+        dma(i % 2, s, r, xo_hbm, wo, 1).wait()
+        vwe, vwo = we[i % 2], wo[i % 2]
+
+        dot_t = lambda b, g: jax.lax.dot_general(  # noqa: E731
+            b, g, (((1,), (1,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+
+        for rh in range(RH):
+            g = gy_ref[:, :, rh, :].reshape(cout * P, W2)
+            g_l = _shift_lanes(g, 2)   # pairs B_odd[j] with gy[j+1] (kw=0)
+            for kh in range(3):
+                be = vwe[:, :, 2 * rh + kh, :].reshape(k0, W2)
+                bo = vwo[:, :, 2 * rh + kh, :].reshape(k0, W2)
+                wg_ref[kh, 0] += dot_t(bo, g_l)
+                wg_ref[kh, 1] += dot_t(be, g)
+                wg_ref[kh, 2] += dot_t(bo, g)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("p", "rh", "interpret",
+                                             "precision"))
+def _s2_wgrad_dband(xe, xo, gy, *, p: int = 8, rh: int = 8,
+                    interpret: bool = False, precision=None):
+    cin, d2, h2, w2 = xe.shape
+    do, ho = (d2 - 2) // 2, (h2 - 2) // 2
+    cout = gy.shape[0]
+    win = 2 * p + 1
+    sb, rb = do // p, ho // rh
+    kern = _make_s2_wgrad_kernel((cin, cout, p, rh, w2, sb, rb),
+                                 INTERP if precision is None else precision)
+    return pl.pallas_call(
+        kern,
+        grid=(sb, rb),
+        in_specs=[
+            pl.BlockSpec((cout, p, rh, w2), lambda s, r: (0, s, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((3, 3, cin * win, cout * p),
+                               lambda s, r: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, 3, cin * win, cout * p),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, cin, win, 2 * rh + 1, w2), xe.dtype),
+            pltpu.VMEM((2, cin, win, 2 * rh + 1, w2), xe.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(gy, xe, xo)
+
+
 # ------------------------------------------------------------ custom VJP ---
 
 
@@ -341,3 +696,157 @@ def _s1_bwd_rule(p, rh, interpret, precision, res, gy):
 
 
 conv3d_s1.defvjp(_s1_fwd_rule, _s1_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def conv3d_s2(x, kernel, p: int = 8, rh: int = 8,
+              interpret: bool | None = None, precision=None):
+    """Differentiable stride-2 3x3x3 conv (pad 1), channel-major
+    (Cin, D, H, W) -> (Cout, D/2, H/2, W/2). (D/2) % p == 0,
+    (H/2) % rh == 0, W even."""
+    return _s2_fwd(x, kernel, p, rh, interpret, precision)
+
+
+def _s2_fwd(x, kernel, p, rh, interpret, precision):
+    a = build_a(kernel, P=p, stride=2)
+    xe, xo = split_w(pad_dh(x))
+    return conv3d_s2_dband(xe, xo, a, p=p, rh=rh,
+                           interpret=_interp_flag(interpret),
+                           precision=precision)
+
+
+def _s2_fwd_rule(x, kernel, p, rh, interpret, precision):
+    return _s2_fwd(x, kernel, p, rh, interpret, precision), (x, kernel)
+
+
+def _s2_bwd_rule(p, rh, interpret, precision, res, gy):
+    x, kernel = res
+    itp = _interp_flag(interpret)
+    # dgrad: the transposed structure == the up kernel with the flipped/
+    # swapped kernel (gx[i] = sum_kd K[kd] gy[(i+1-kd)/2])
+    a_up = build_a_up(_flip_swap(kernel), P=p)
+    gx = interleave_w(*conv3d_up_dband(pad_dh(gy), a_up, p=p, rh=rh,
+                                       interpret=itp, precision=precision))
+    xe, xo = split_w(pad_dh(x))
+    wg = _s2_wgrad_dband(xe, xo, gy, p=p, rh=rh, interpret=itp,
+                         precision=precision)
+    gk = _wgrad_extract(wg, x.shape[0], gy.shape[0], P=p, stride=2)
+    return gx, gk
+
+
+conv3d_s2.defvjp(_s2_fwd_rule, _s2_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def conv3d_up(x, kernel, p: int = 8, rh: int = 8,
+              interpret: bool | None = None, precision=None):
+    """Differentiable transposed stride-2 conv (layers.py conv_transpose3d
+    semantics, stored pre-flipped kernel), channel-major
+    (Cin, D, H, W) -> (Cout, 2D, 2H, 2W). D % p == 0, H % rh == 0."""
+    return _up_fwd(x, kernel, p, rh, interpret, precision)
+
+
+def _up_fwd(x, kernel, p, rh, interpret, precision):
+    a = build_a_up(kernel, P=p)
+    oe, oo = conv3d_up_dband(pad_dh(x), a, p=p, rh=rh,
+                             interpret=_interp_flag(interpret),
+                             precision=precision)
+    return interleave_w(oe, oo)
+
+
+def _up_fwd_rule(x, kernel, p, rh, interpret, precision):
+    return _up_fwd(x, kernel, p, rh, interpret, precision), (x, kernel)
+
+
+def _up_bwd_rule(p, rh, interpret, precision, res, gy):
+    x, kernel = res
+    itp = _interp_flag(interpret)
+    # dgrad: gx[i] = sum_kd K'[kd] gy[2i+1-kd] == the stride-2 kernel with
+    # the flipped/swapped kernel
+    a2 = build_a(_flip_swap(kernel), P=p, stride=2)
+    ge, go = split_w(pad_dh(gy))
+    gx = conv3d_s2_dband(ge, go, a2, p=p, rh=rh, interpret=itp,
+                         precision=precision)
+    # wgrad by duality: gw_up[kd, ci, co] = gw_s2(a=gy, b=x)[2-kd, co, ci]
+    wg = _s2_wgrad_dband(ge, go, x, p=p, rh=rh, interpret=itp,
+                         precision=precision)
+    gk = _flip_swap(_wgrad_extract(wg, gy.shape[0], x.shape[0], P=p,
+                                   stride=2))
+    return gx, gk
+
+
+conv3d_up.defvjp(_up_fwd_rule, _up_bwd_rule)
+
+
+# ------------------------------------------------------------- the U-Net ---
+
+
+def _abn_cm(p, x, use_running_stats: bool = False, eps: float = 1e-5,
+            slope: float = 0.01):
+    """layers.abn for channel-MAJOR (C, D, H, W) tensors (stats over
+    D, H, W per channel; biased variance, leaky 0.01)."""
+    if use_running_stats:
+        mean, var = p["mean"], p["var"]
+    else:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, (1, 2, 3))
+        var = jnp.mean(jnp.square(xf), (1, 2, 3)) - jnp.square(mean)
+    bc = (slice(None), None, None, None)
+    y = (x.astype(jnp.float32) - mean[bc]) \
+        * jax.lax.rsqrt(var + eps)[bc] * p["scale"][bc] + p["bias"][bc]
+    return jnp.where(y >= 0, y, slope * y).astype(x.dtype)
+
+
+def _pick_block(n: int, cap: int = 8) -> int:
+    for b in range(min(n, cap), 0, -1):
+        if n % b == 0:
+            return b
+    return 1
+
+
+def cost_reg_dband_apply(params, x_cm, use_running_stats: bool = False,
+                         interpret: bool | None = None, precision=None):
+    """CostRegNet via the depth-band Pallas kernels (drop-in third
+    implementation next to cost_reg_apply / cost_reg_packed_apply — same
+    params pytree, same output up to float summation order).
+
+    Args:
+        x_cm: (Cin, D, H, W) channel-major cost volume (the fused sweep
+            kernel's natural layout) with D, H, W divisible by 8.
+
+    Returns:
+        (D, H, W, 8) channel-last encoding volume (float32).
+    """
+    cin, d0, h0, w0 = x_cm.shape
+    assert d0 % 8 == 0 and h0 % 8 == 0 and w0 % 8 == 0, (d0, h0, w0)
+
+    def blocks(y):
+        return dict(p=_pick_block(y.shape[1]), rh=_pick_block(y.shape[2]),
+                    interpret=interpret, precision=precision)
+
+    def enc(name, y, conv):
+        p = params[name]
+        y = conv(y, p["conv"]["kernel"], **blocks_out(conv, y))
+        return _abn_cm(p["bn"], y, use_running_stats=use_running_stats)
+
+    def blocks_out(conv, y):
+        # block sizes constrain the OUTPUT grid of the kernel
+        d, h = y.shape[1], y.shape[2]
+        if conv is conv3d_s2:
+            d, h = d // 2, h // 2
+        return dict(p=_pick_block(d), rh=_pick_block(h),
+                    interpret=interpret, precision=precision)
+
+    def dec(name, y):
+        p = params[name]
+        y = conv3d_up(y, p["deconv"]["kernel"], **blocks(y))
+        return _abn_cm(p["bn"], y, use_running_stats=use_running_stats)
+
+    conv0 = enc("conv0", x_cm, conv3d_s1)
+    conv2 = enc("conv2", enc("conv1", conv0, conv3d_s2), conv3d_s1)
+    conv4 = enc("conv4", enc("conv3", conv2, conv3d_s2), conv3d_s1)
+    y = enc("conv6", enc("conv5", conv4, conv3d_s2), conv3d_s1)
+    y = conv4 + dec("conv7", y)
+    y = conv2 + dec("conv9", y)
+    y = conv0 + dec("conv11", y)
+    return y.transpose(1, 2, 3, 0)
