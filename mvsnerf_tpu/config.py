@@ -48,11 +48,13 @@ def config_parser(cmd=None):
                              "extension; 'auto' = fused Pallas kernel on "
                              "TPU, packed gather elsewhere)")
     parser.add_argument("--costreg_impl", type=str, default="auto",
-                        choices=["auto", "packed", "plain"],
+                        choices=["auto", "packed", "plain", "dband"],
                         help="CostRegNet implementation: 'packed' folds "
                              "depth slices into channels so every U-Net "
                              "level runs at 128 lanes (TPU layout "
                              "optimization, models/costreg_packed.py); "
+                             "'dband' = channel-major depth-band Pallas "
+                             "kernels (ops/pallas_costreg.py); "
                              "'auto' = packed when the shape conforms")
     parser.add_argument("--render_mode", type=str, default="chunked",
                         choices=["chunked", "tiled"],

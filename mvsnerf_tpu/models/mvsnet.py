@@ -197,10 +197,15 @@ def resolve_costreg_impl(impl: str, d: int, hp: int, wp: int) -> str:
     """'auto' -> the depth-packed U-Net (models/costreg_packed.py) when the
     shape conforms (D%16, H%8, W%8) — XLA lane-pads the plain U-Net's small
     channel counts up to 16x in HBM, which dominates the generalizable
-    step on TPU. 'plain' forces the reference-layout implementation."""
+    step on TPU. 'plain' forces the reference-layout implementation;
+    'dband' the depth-band Pallas kernels (ops/pallas_costreg.py,
+    channel-major, D/H/W % 8)."""
     if impl == "auto":
         return "packed" if (d % 16 == 0 and hp % 8 == 0 and wp % 8 == 0) \
             else "plain"
+    if impl == "dband" and not (d % 8 == 0 and hp % 8 == 0
+                                and wp % 8 == 0):
+        return "plain"
     return impl
 
 
@@ -243,7 +248,7 @@ def mvsnet_apply(params, imgs, proj_mats, near_far, pad: int = 0,
     impl = resolve_costreg_impl(costreg_impl, n_planes, hp, wp)
     depth_values = depth_plane_values(near_far[0], near_far[1], n_planes,
                                       lindisp)
-    layout = "packed16" if impl == "packed" else "dense"
+    layout = {"packed": "packed16", "dband": "cmajor"}.get(impl, "dense")
     cost, in_masks, colors = build_cost_volume(imgs, feats, proj_mats,
                                                depth_values, pad=pad,
                                                warp_fwd_mode=warp_mode,
@@ -253,6 +258,10 @@ def mvsnet_apply(params, imgs, proj_mats, near_far, pad: int = 0,
         volume = cost_reg_packed_apply(
             params["cost_reg_2"], cost,
             use_running_stats=use_running_stats, packed_input=True)[0]
+    elif impl == "dband":
+        from ..ops.pallas_costreg import cost_reg_dband_apply
+        volume = cost_reg_dband_apply(params["cost_reg_2"], cost,
+                                      use_running_stats=use_running_stats)
     else:
         volume = cost_reg_apply(params["cost_reg_2"], cost[None],
                                 use_running_stats=use_running_stats)[0]

@@ -148,7 +148,7 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
     V, h, w, C = feats.shape
     D = depth_values.shape[0]
     hp, wp = h + 2 * pad, w + 2 * pad
-    assert cost_layout in ("dense", "packed16")
+    assert cost_layout in ("dense", "packed16", "cmajor")
     if cost_layout == "packed16":
         assert D % 16 == 0, D
     if plane_block is None:
@@ -232,6 +232,8 @@ def build_cost_volume(imgs, feats, proj_mats, depth_values, pad: int = 0,
     if cost_layout == "packed16":
         from ..models.costreg_packed import pack_volume
         cost = pack_volume(cost[None], 16)
+    elif cost_layout == "cmajor":
+        cost = cost.transpose(3, 0, 1, 2)
     return cost, in_masks, colors
 
 
@@ -339,6 +341,10 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
                          for p in range(16)]
                 pk = jnp.concatenate(parts, axis=-1)
                 return pk.reshape(1, D // 16, hp, wp, 16 * ct)
+            if cost_layout == "cmajor":
+                # the kernel's NATIVE layout — zero relayout (the dband
+                # U-Net consumes it directly, ops/pallas_costreg.py)
+                return cost_cm.reshape(cc, D, hp, wp)[:ct]
             return cost_cm.reshape(cc, D, hp, wp).transpose(1, 2, 3, 0)[
                 ..., :ct]
 
@@ -391,6 +397,8 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
         if cost_layout == "packed16":
             from ..models.costreg_packed import pack_volume
             return pack_volume(dense[None], 16)
+        if cost_layout == "cmajor":
+            return dense.transpose(3, 0, 1, 2)
         return dense
 
     cost_fn = gather_fallback

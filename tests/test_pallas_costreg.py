@@ -182,3 +182,27 @@ def test_costreg_dband_grads_match_plain():
         scale = max(1e-6, float(jnp.max(jnp.abs(u))))
         np.testing.assert_allclose(np.asarray(v) / scale,
                                    np.asarray(u) / scale, atol=2e-3)
+
+
+def test_mvsnet_dband_impl_matches_packed():
+    """mvsnet_apply(costreg_impl='dband') over the fused Pallas sweep's
+    cmajor layout matches the packed path end-to-end."""
+    from mvsnerf_tpu.models import init_mvsnet
+    from mvsnerf_tpu.models.mvsnet import mvsnet_apply
+    from tests.test_pallas_sweep import _scene
+
+    h, w, c, d, pad, V = 26, 26, 8, 16, 3, 3
+    feats, imgs_small, projs, depths = _scene(V, h, w, c, d)
+    del feats, imgs_small
+    imgs = jnp.asarray(
+        RNG.uniform(0.1, 0.9, (V, 4 * h, 4 * w, 3)).astype(np.float32))
+    params = init_mvsnet(jax.random.PRNGKey(2))
+    ref = mvsnet_apply(params, imgs, projs, jnp.asarray([2.0, 5.0]),
+                       pad=pad, n_planes=d, warp_mode="pallas",
+                       costreg_impl="packed")[0]
+    out = mvsnet_apply(params, imgs, projs, jnp.asarray([2.0, 5.0]),
+                       pad=pad, n_planes=d, warp_mode="pallas",
+                       costreg_impl="dband")[0]
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-3, rtol=1e-3)
