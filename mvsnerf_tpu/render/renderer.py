@@ -201,7 +201,13 @@ def render_image_chunked(render_chunk_fn, ray_args, n_rays: int,
         ray_args: tuple of arrays with leading dim n_rays.
     """
     pad = (-n_rays) % chunk
-    padded = [jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+    # Edge replication, NOT zeros: the banded volume gather
+    # (ops/volume_grad.py) derives a per-sample-column z band from ALL
+    # rays in a chunk — zero-padded rays (ndc z == 0) would drag zmin to
+    # 0 and silently clamp the REAL rays' reads whenever
+    # n_rays % chunk != 0. Replicated rays share real rays' locality.
+    padded = [jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                      mode="edge")
               for a in ray_args]
     chunked = [a.reshape(-1, chunk, *a.shape[1:]) for a in padded]
     out = jax.lax.map(lambda args: render_chunk_fn(*args), tuple(chunked))

@@ -58,10 +58,15 @@ def bake_color_volume(volume, imgs, pose_source, near_far, pad):
 
 
 def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
-                        density_volume=None):
+                        density_volume=None, bbox=None):
     """Build the tiled-render closure, or a None-returning one when the
     configuration can't use the fused kernel (non-v0 MLP, sample count
-    not a multiple of the kernel's column block, volume too small)."""
+    not a multiple of the kernel's column block, volume too small).
+
+    With `bbox` ((2, 3) world AABB) the volume coords are bbox-normalized
+    instead of reference-view NDC — the fusion system's canonical-grid
+    convention (train/fusion.py render_fn); the volume must then already
+    carry the baked 20 channels."""
     from ..ops import pallas_render_tiled as prt
 
     n_total = args.N_samples + (
@@ -71,6 +76,9 @@ def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
     from .renderer import gen_dir_feature
 
     d, hp, wp, c = volume.shape
+    if bbox is not None:
+        assert c >= 20, "bbox mode requires the baked color volume"
+        bbox = jnp.asarray(bbox, jnp.float32)
     # window sizes adapted to the volume (yb * kb == 128 contract)
     yb = 32 if hp >= 32 else (16 if hp >= 16 else 8)
     xb = 32
@@ -79,8 +87,8 @@ def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
     if hp < 8 or wp < 4:
         return lambda rays, H, W: None
     w2c_ref = pose_source["w2cs"][0]
-    intr_ref = pose_source["intrinsics"][0]
-    nf = jnp.asarray(near_far, jnp.float32)
+    intr_ref = pose_source.get("intrinsics", [None])[0]
+    nf = None if bbox is not None else jnp.asarray(near_far, jnp.float32)
     if c == 8:
         volume = bake_color_volume(volume, imgs, pose_source, near_far,
                                    args.pad)
@@ -91,9 +99,11 @@ def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
     def prep(r, inv_scale):
         pts, _, rays_d, z_vals = ray_marcher(
             jax.random.PRNGKey(0), r, args.N_samples, perturb=0.0,
-            lindisp=args.use_disp)
+            lindisp=args.use_disp, bbox_3d=bbox)
 
         def ndc(p):
+            if bbox is not None:
+                return (p - bbox[0]) / (bbox[1] - bbox[0])
             return get_ndc_coordinate(w2c_ref, intr_ref, p, inv_scale,
                                       near=nf[0], far=nf[1], pad=args.pad,
                                       lindisp=args.use_disp)

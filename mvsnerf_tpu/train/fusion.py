@@ -318,7 +318,8 @@ class FusionFinetuneSystem:
         gt = np.asarray(sample["rgbs"])
         h, w = gt.shape[:2]
         out = self.render_image(sample["rays"],
-                                chunk=chunk or self.args.chunk * 8)
+                                chunk=chunk or self.args.chunk * 8,
+                                image_hw=(h, w))
         pred = np.clip(np.asarray(out["rgb"]).reshape(h, w, 3), 0, 1)
         val_psnr = float(psnr(pred, gt))
         logger.log_scalars(step_i, {"val/PSNR": val_psnr})
@@ -351,9 +352,18 @@ class FusionFinetuneSystem:
         self.opt_state = state["opt_state"]
         return state["global_step"]
 
-    def render_image(self, rays, chunk: int = 8192):
-        params = self.params
+    def render_image(self, rays, chunk: int = 8192, image_hw=None):
         density = self.density_volume if self.args.N_importance else None
+        if image_hw is not None and \
+                getattr(self.args, "render_mode", "chunked") == "tiled":
+            from ..render.tiled import make_tiled_renderer
+            out = make_tiled_renderer(
+                self.args, self.params["mlp"], self.params["volume"],
+                None, None, self.pose_source_ref, density_volume=density,
+                bbox=self.train_dataset.bbox_3d)(rays, *image_hw)
+            if out is not None:
+                return out
+        params = self.params
         key = jax.random.PRNGKey(0)
 
         def chunk_fn(r):

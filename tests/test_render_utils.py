@@ -179,3 +179,30 @@ def test_v1_mlp_matches_torch():
     ours = mlp_apply(p, jnp.asarray(x), "v1", 63, 3)
     ref = torch_mlp_v1(p, torch.from_numpy(x))
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def test_render_image_chunked_pad_band_contract():
+    """Chunk padding must not corrupt real rays: the banded volume gather
+    derives a per-column z band from ALL rays in a chunk, so zero-pad
+    rays (ndc z=0) would clamp real rays' reads. chunk > n_rays must give
+    identical output to chunk == n_rays (found via a fusion-scene render
+    where chunk=8192 on 1024 rays shifted rgb by 0.3)."""
+    import jax
+    from mvsnerf_tpu.render.renderer import render_image_chunked
+    from mvsnerf_tpu.ops.volume_grad import sample_volume_banded
+
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.standard_normal((16, 8, 8, 4)).astype(np.float32))
+    n, s = 96, 8
+    # structured ndc: column s spans ~one z slab (the band contract)
+    z = (jnp.arange(s) / s)[None, :] + rng.uniform(0, 1.0 / s, (n, 1))
+    xy = jnp.asarray(rng.uniform(0, 1, (n, s, 2)).astype(np.float32))
+    ndc = jnp.concatenate([xy, z[..., None]], -1).astype(jnp.float32)
+
+    def chunk_fn(nd):
+        return {"v": sample_volume_banded(vol, nd, 4)}
+
+    exact = render_image_chunked(chunk_fn, (ndc,), n, chunk=n)
+    padded = render_image_chunked(chunk_fn, (ndc,), n, chunk=128)
+    np.testing.assert_allclose(np.asarray(padded["v"]),
+                               np.asarray(exact["v"]), atol=1e-6)

@@ -220,3 +220,25 @@ def test_finetune_tiled_render_image():
     rgb_t = np.asarray(out_t["rgb"]).reshape(-1, 3)
     assert np.isfinite(rgb_t).all()
     np.testing.assert_allclose(rgb_t, np.asarray(out_c["rgb"]), atol=6e-2)
+
+
+def test_fusion_tiled_render_image():
+    """Fusion system render_image with --render_mode tiled (bbox-normalized
+    coords over the canonical fused volume) stays close to the exact
+    chunked path. On this scene the per-ray dda near/far spreads the z
+    coords at a fixed sample index beyond the kernel's z band, so
+    plan_tiles rejects and the path under test is the graceful fallback
+    (which historically diverged: zero-pad rays broke the banded gather's
+    band contract — see test_render_image_chunked_pad_band_contract)."""
+    from mvsnerf_tpu.train import FusionFinetuneSystem
+    ds = FakeSceneDataset()
+    args = _args("--use_color_volume --N_samples 32 --perturb 0 "
+                 "--render_mode tiled")
+    FusionFinetuneSystem.VOLUME_DIM = (32, 32, 32)
+    sys_ = FusionFinetuneSystem(args, ds)
+    rays = ds.all_rays[:H * W]
+    out_t = sys_.render_image(rays, image_hw=(H, W))
+    out_c = sys_.render_image(rays, chunk=H * W)
+    rgb_t = np.asarray(out_t["rgb"]).reshape(-1, 3)
+    assert np.isfinite(rgb_t).all()
+    np.testing.assert_allclose(rgb_t, np.asarray(out_c["rgb"]), atol=8e-2)
