@@ -657,40 +657,53 @@ def _flip_swap(kernel):
     return jnp.flip(kernel, (0, 1, 2)).transpose(0, 1, 2, 4, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def conv3d_s1(x, kernel, p: int = 8, rh: int = 8,
-              interpret: bool | None = None, precision=None):
+              interpret: bool | None = None, precision=None,
+              dtype=None):
     """Differentiable stride-1 3x3x3 'same' conv, channel-major
     (C, D, H, W) x -> (Cout, D, H, W). D % p == 0, H % rh == 0 required.
 
     Forward/dgrad/wgrad all run the depth-band Pallas kernels; gradients
     flow to both x and the dense kernel."""
-    return _s1_fwd(x, kernel, p, rh, interpret, precision)
+    return _s1_fwd(x, kernel, p, rh, interpret, precision, dtype)
 
 
 def _interp_flag(interpret):
     return jax.default_backend() != "tpu" if interpret is None else interpret
 
 
-def _s1_fwd(x, kernel, p, rh, interpret, precision):
-    a = build_a(kernel, P=p)
-    return conv3d_s1_dband(pad_dh(x), a, p=p, rh=rh,
+def _cast_prec(dtype, precision):
+    """(cast fn, effective precision): with a reduced compute dtype the
+    matmul precision must be DEFAULT (bf16 operands reject f32 contract
+    levels in Mosaic); accumulation stays f32 either way."""
+    if dtype is None:
+        return (lambda v: v), precision
+    return (lambda v: v.astype(dtype)), jax.lax.Precision.DEFAULT
+
+
+def _s1_fwd(x, kernel, p, rh, interpret, precision, dtype):
+    cast, precision = _cast_prec(dtype, precision)
+    a = cast(build_a(kernel, P=p))
+    return conv3d_s1_dband(cast(pad_dh(x)), a, p=p, rh=rh,
                            interpret=_interp_flag(interpret),
                            precision=precision)
 
 
-def _s1_fwd_rule(x, kernel, p, rh, interpret, precision):
-    return _s1_fwd(x, kernel, p, rh, interpret, precision), (x, kernel)
+def _s1_fwd_rule(x, kernel, p, rh, interpret, precision, dtype):
+    return _s1_fwd(x, kernel, p, rh, interpret, precision,
+                       dtype), (x, kernel)
 
 
-def _s1_bwd_rule(p, rh, interpret, precision, res, gy):
+def _s1_bwd_rule(p, rh, interpret, precision, dtype, res, gy):
     x, kernel = res
     itp = _interp_flag(interpret)
-    a_t = build_a(_flip_swap(kernel), P=p)
-    gx = conv3d_s1_dband(pad_dh(gy), a_t, p=p, rh=rh, interpret=itp,
+    cast, precision = _cast_prec(dtype, precision)
+    a_t = cast(build_a(_flip_swap(kernel), P=p))
+    gx = conv3d_s1_dband(cast(pad_dh(gy)), a_t, p=p, rh=rh, interpret=itp,
                          precision=precision)
-    wg = _s1_wgrad_dband(pad_dh(x), gy, p=p, rh=rh, interpret=itp,
-                         precision=precision)
+    wg = _s1_wgrad_dband(cast(pad_dh(x)), cast(gy), p=p, rh=rh,
+                         interpret=itp, precision=precision)
     gk = _wgrad_extract(wg, x.shape[0], gy.shape[0], P=p)
     return gx, gk
 
@@ -698,37 +711,41 @@ def _s1_bwd_rule(p, rh, interpret, precision, res, gy):
 conv3d_s1.defvjp(_s1_fwd_rule, _s1_bwd_rule)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def conv3d_s2(x, kernel, p: int = 8, rh: int = 8,
-              interpret: bool | None = None, precision=None):
+              interpret: bool | None = None, precision=None,
+              dtype=None):
     """Differentiable stride-2 3x3x3 conv (pad 1), channel-major
     (Cin, D, H, W) -> (Cout, D/2, H/2, W/2). (D/2) % p == 0,
     (H/2) % rh == 0, W even."""
-    return _s2_fwd(x, kernel, p, rh, interpret, precision)
+    return _s2_fwd(x, kernel, p, rh, interpret, precision, dtype)
 
 
-def _s2_fwd(x, kernel, p, rh, interpret, precision):
-    a = build_a(kernel, P=p, stride=2)
-    xe, xo = split_w(pad_dh(x))
+def _s2_fwd(x, kernel, p, rh, interpret, precision, dtype):
+    cast, precision = _cast_prec(dtype, precision)
+    a = cast(build_a(kernel, P=p, stride=2))
+    xe, xo = split_w(cast(pad_dh(x)))
     return conv3d_s2_dband(xe, xo, a, p=p, rh=rh,
                            interpret=_interp_flag(interpret),
                            precision=precision)
 
 
-def _s2_fwd_rule(x, kernel, p, rh, interpret, precision):
-    return _s2_fwd(x, kernel, p, rh, interpret, precision), (x, kernel)
+def _s2_fwd_rule(x, kernel, p, rh, interpret, precision, dtype):
+    return _s2_fwd(x, kernel, p, rh, interpret, precision,
+                       dtype), (x, kernel)
 
 
-def _s2_bwd_rule(p, rh, interpret, precision, res, gy):
+def _s2_bwd_rule(p, rh, interpret, precision, dtype, res, gy):
     x, kernel = res
     itp = _interp_flag(interpret)
+    cast, precision = _cast_prec(dtype, precision)
     # dgrad: the transposed structure == the up kernel with the flipped/
     # swapped kernel (gx[i] = sum_kd K[kd] gy[(i+1-kd)/2])
-    a_up = build_a_up(_flip_swap(kernel), P=p)
-    gx = interleave_w(*conv3d_up_dband(pad_dh(gy), a_up, p=p, rh=rh,
+    a_up = cast(build_a_up(_flip_swap(kernel), P=p))
+    gx = interleave_w(*conv3d_up_dband(cast(pad_dh(gy)), a_up, p=p, rh=rh,
                                        interpret=itp, precision=precision))
-    xe, xo = split_w(pad_dh(x))
-    wg = _s2_wgrad_dband(xe, xo, gy, p=p, rh=rh, interpret=itp,
+    xe, xo = split_w(cast(pad_dh(x)))
+    wg = _s2_wgrad_dband(xe, xo, cast(gy), p=p, rh=rh, interpret=itp,
                          precision=precision)
     gk = _wgrad_extract(wg, x.shape[0], gy.shape[0], P=p, stride=2)
     return gx, gk
@@ -737,38 +754,42 @@ def _s2_bwd_rule(p, rh, interpret, precision, res, gy):
 conv3d_s2.defvjp(_s2_fwd_rule, _s2_bwd_rule)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def conv3d_up(x, kernel, p: int = 8, rh: int = 8,
-              interpret: bool | None = None, precision=None):
+              interpret: bool | None = None, precision=None,
+              dtype=None):
     """Differentiable transposed stride-2 conv (layers.py conv_transpose3d
     semantics, stored pre-flipped kernel), channel-major
     (Cin, D, H, W) -> (Cout, 2D, 2H, 2W). D % p == 0, H % rh == 0."""
-    return _up_fwd(x, kernel, p, rh, interpret, precision)
+    return _up_fwd(x, kernel, p, rh, interpret, precision, dtype)
 
 
-def _up_fwd(x, kernel, p, rh, interpret, precision):
-    a = build_a_up(kernel, P=p)
-    oe, oo = conv3d_up_dband(pad_dh(x), a, p=p, rh=rh,
+def _up_fwd(x, kernel, p, rh, interpret, precision, dtype):
+    cast, precision = _cast_prec(dtype, precision)
+    a = cast(build_a_up(kernel, P=p))
+    oe, oo = conv3d_up_dband(cast(pad_dh(x)), a, p=p, rh=rh,
                              interpret=_interp_flag(interpret),
                              precision=precision)
     return interleave_w(oe, oo)
 
 
-def _up_fwd_rule(x, kernel, p, rh, interpret, precision):
-    return _up_fwd(x, kernel, p, rh, interpret, precision), (x, kernel)
+def _up_fwd_rule(x, kernel, p, rh, interpret, precision, dtype):
+    return _up_fwd(x, kernel, p, rh, interpret, precision,
+                       dtype), (x, kernel)
 
 
-def _up_bwd_rule(p, rh, interpret, precision, res, gy):
+def _up_bwd_rule(p, rh, interpret, precision, dtype, res, gy):
     x, kernel = res
     itp = _interp_flag(interpret)
+    cast, precision = _cast_prec(dtype, precision)
     # dgrad: gx[i] = sum_kd K'[kd] gy[2i+1-kd] == the stride-2 kernel with
     # the flipped/swapped kernel
-    a2 = build_a(_flip_swap(kernel), P=p, stride=2)
-    ge, go = split_w(pad_dh(gy))
+    a2 = cast(build_a(_flip_swap(kernel), P=p, stride=2))
+    ge, go = split_w(cast(pad_dh(gy)))
     gx = conv3d_s2_dband(ge, go, a2, p=p, rh=rh, interpret=itp,
                          precision=precision)
     # wgrad by duality: gw_up[kd, ci, co] = gw_s2(a=gy, b=x)[2-kd, co, ci]
-    wg = _s2_wgrad_dband(ge, go, x, p=p, rh=rh, interpret=itp,
+    wg = _s2_wgrad_dband(ge, go, cast(x), p=p, rh=rh, interpret=itp,
                          precision=precision)
     gk = _flip_swap(_wgrad_extract(wg, gy.shape[0], x.shape[0], P=p,
                                    stride=2))
@@ -805,7 +826,8 @@ def _pick_block(n: int, cap: int = 8) -> int:
 
 
 def cost_reg_dband_apply(params, x_cm, use_running_stats: bool = False,
-                         interpret: bool | None = None, precision=None):
+                         interpret: bool | None = None, precision=None,
+                         dtype=None):
     """CostRegNet via the depth-band Pallas kernels (drop-in third
     implementation next to cost_reg_apply / cost_reg_packed_apply — same
     params pytree, same output up to float summation order).
@@ -822,7 +844,7 @@ def cost_reg_dband_apply(params, x_cm, use_running_stats: bool = False,
 
     def blocks(y):
         return dict(p=_pick_block(y.shape[1]), rh=_pick_block(y.shape[2]),
-                    interpret=interpret, precision=precision)
+                    interpret=interpret, precision=precision, dtype=dtype)
 
     def enc(name, y, conv):
         p = params[name]
@@ -835,7 +857,7 @@ def cost_reg_dband_apply(params, x_cm, use_running_stats: bool = False,
         if conv is conv3d_s2:
             d, h = d // 2, h // 2
         return dict(p=_pick_block(d), rh=_pick_block(h),
-                    interpret=interpret, precision=precision)
+                    interpret=interpret, precision=precision, dtype=dtype)
 
     def dec(name, y):
         p = params[name]
