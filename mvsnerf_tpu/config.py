@@ -56,6 +56,13 @@ def config_parser(cmd=None):
                              "'dband' = channel-major depth-band Pallas "
                              "kernels (ops/pallas_costreg.py); "
                              "'auto' = packed when the shape conforms")
+    parser.add_argument("--featurenet_impl", type=str, default="auto",
+                        choices=["auto", "packed", "plain"],
+                        help="FeatureNet implementation: 'packed' folds "
+                             "4x4 pixel blocks into channels so the "
+                             "full-res levels run at 128 lanes "
+                             "(models/featurenet_packed.py); 'auto' = "
+                             "packed when H, W divide by 4")
     parser.add_argument("--render_mode", type=str, default="chunked",
                         choices=["chunked", "tiled"],
                         help="full-image render path: 'chunked' = exact "

@@ -58,8 +58,9 @@ class Evaluator:
                 jnp.asarray(near_far, jnp.float32), pad=self.args.pad,
                 warp_mode=resolve_warp_mode(
                     getattr(self.args, "warp_mode", "auto")),
-                costreg_impl=getattr(self.args, "costreg_impl",
-                                     "auto"))[0]
+                costreg_impl=getattr(self.args, "costreg_impl", "auto"),
+                featurenet_impl=getattr(self.args, "featurenet_impl",
+                                        "auto"))[0]
         )(self.mvsnet, imgs_norm)
         pose_source = {k: jnp.asarray(v) for k, v in pose_source.items()}
         return volume, unpreprocess_images(imgs_norm), \

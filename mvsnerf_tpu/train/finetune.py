@@ -103,8 +103,9 @@ class FinetuneSystem:
                     lindisp=args.use_disp,
                     warp_mode=resolve_warp_mode(
                         getattr(args, "warp_mode", "auto")),
-                    costreg_impl=getattr(args, "costreg_impl",
-                                         "auto"))[0]
+                    costreg_impl=getattr(args, "costreg_impl", "auto"),
+                    featurenet_impl=getattr(args, "featurenet_impl",
+                                            "auto"))[0]
             )(self.mvsnet, self.imgs_norm)
         self.imgs = unpreprocess_images(self.imgs_norm)
 

@@ -169,8 +169,9 @@ class FusionFinetuneSystem:
                     pad=args.pad,
                     warp_mode=resolve_warp_mode(
                         getattr(args, "warp_mode", "auto")),
-                    costreg_impl=getattr(args, "costreg_impl",
-                                         "auto"))[0]
+                    costreg_impl=getattr(args, "costreg_impl", "auto"),
+                    featurenet_impl=getattr(args, "featurenet_impl",
+                                            "auto"))[0]
             )(self.mvsnet, imgs_norm, jnp.asarray(proj_mats))
             imgs = unpreprocess_images(imgs_norm)
             if i == 0:

@@ -107,7 +107,8 @@ class GeneralizableSystem:
             volume, _, _ = mvsnet_apply(
                 params["mvsnet"], imgs_norm[:3], proj_mats[:3], near_fars[0],
                 pad=args.pad, lindisp=args.use_disp, warp_mode=warp_mode,
-                costreg_impl=getattr(args, "costreg_impl", "auto"))
+                costreg_impl=getattr(args, "costreg_impl", "auto"),
+                featurenet_impl=getattr(args, "featurenet_impl", "auto"))
             imgs = unpreprocess_images(imgs_norm)
 
             # rays in the target view (= last view, utils.py:177)
@@ -256,8 +257,11 @@ class GeneralizableSystem:
         V, H, W, _ = imgs_norm.shape
 
         volume = jax.jit(
-            lambda p, im: mvsnet_apply(p, im, proj_mats[:3], near_fars[0],
-                                       pad=args.pad)[0]
+            lambda p, im: mvsnet_apply(
+                p, im, proj_mats[:3], near_fars[0], pad=args.pad,
+                costreg_impl=getattr(args, "costreg_impl", "auto"),
+                featurenet_impl=getattr(args, "featurenet_impl",
+                                        "auto"))[0]
         )(self.params["mvsnet"], imgs_norm[:3])
         imgs = unpreprocess_images(imgs_norm)
 

@@ -19,9 +19,11 @@ from mvsnerf_tpu.train.generalizable import GeneralizableSystem
 
 H, W = 512, 640
 
+# extra CLI args append/override (e.g. --costreg_impl dband
+# --featurenet_impl plain) for implementation A/Bs
 args = config_parser(cmd="--pad 24 --N_samples 128 --batch_size 1024 "
                          "--with_depth_loss --with_depth --ckpt None "
-                         "--net_type v0")
+                         "--net_type v0 " + " ".join(sys.argv[1:]))
 
 rng = np.random.default_rng(0)
 intr = np.array([[722.0, 0, W / 2], [0, 722.0, H / 2], [0, 0, 1]],
