@@ -259,9 +259,12 @@ def bench_generalizable():
     from mvsnerf_tpu.config import config_parser
     from mvsnerf_tpu.train.generalizable import GeneralizableSystem
 
+    # MVSNERF_BENCH_EXTRA appends config flags for implementation A/Bs
+    # (e.g. "--costreg_impl dband --featurenet_impl plain")
     args = config_parser(cmd="--pad 24 --N_samples 128 --batch_size 1024 "
                              "--with_depth_loss --with_depth --ckpt None "
-                             "--net_type v0")
+                             "--net_type v0 "
+                             + os.environ.get("MVSNERF_BENCH_EXTRA", ""))
     rng = np.random.default_rng(0)
     imgs, intr, w2cs3, projs3, near_far = make_scene(rng, v=4)
     batch = {
