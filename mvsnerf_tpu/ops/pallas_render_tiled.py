@@ -130,12 +130,14 @@ def _pair_weights(frac, lo_ok, hi_ok, idx, rel0):
             + jnp.where(idx == rel0 + 1, w1, 0.0))
 
 
-def _make_kernel(dims, shp, mlp_precision, interp_dtype, unroll):
+def _make_kernel(dims, shp, mlp_precision, interp_dtype, unroll,
+                 early_stop):
     D, HP, WP = dims
     (T, R, S, YB, XB, KB) = shp
     n_sblk = S // COLS_PER_BLOCK
     XC = XB * CP
     UNROLL = unroll
+    EARLY_STOP = early_stop
 
     def kernel(oy_ref, oxc_ref, coords_ref, dirs_ref, *rest):
         w_refs = rest[:len(_WEIGHT_ORDER)]
@@ -253,8 +255,17 @@ def _make_kernel(dims, shp, mlp_precision, interp_dtype, unroll):
                 return (pltpu.roll(blk, 128 - 4 * UNROLL, 1),
                         t_c, rgb_a, dep_a, acc_a)
 
-            return jax.lax.fori_loop(
-                0, COLS_PER_BLOCK // UNROLL, inner, (blk,) + carry)[1:]
+            body = lambda c: jax.lax.fori_loop(  # noqa: E731
+                0, COLS_PER_BLOCK // UNROLL, inner, (blk,) + c)[1:]
+            if EARLY_STOP <= 0.0:
+                return body(carry)
+            # transmittance early-out: once EVERY ray in the tile is
+            # saturated, remaining sample blocks contribute at most
+            # EARLY_STOP to every output — skip their interp+MLP work
+            # entirely (the ordered compositing makes this exact up to
+            # the bound; front-to-back z ordering is the marcher's)
+            return jax.lax.cond(jnp.max(carry[0]) > EARLY_STOP,
+                                body, lambda c: c, carry)
 
         zeros1 = jnp.zeros((R, 1), jnp.float32)
         t_c, rgb_c, dep_c, acc_c = jax.lax.fori_loop(
@@ -270,11 +281,12 @@ def _make_kernel(dims, shp, mlp_precision, interp_dtype, unroll):
 @functools.partial(
     jax.jit, static_argnames=("dims", "tile_shape", "yb", "xb", "kb",
                               "mlp_precision", "interp_dtype", "unroll",
-                              "interpret"))
+                              "early_stop", "interpret"))
 def tiled_render_v0(weights_list, vol3, coords, dirs, oy, oxc, *,
                     dims, tile_shape, yb: int = 32, xb: int = 32,
                     kb: int = 4, mlp_precision: str = "high",
                     interp_dtype: str = "bfloat16", unroll: int = 1,
+                    early_stop: float = 1e-4,
                     interpret: bool = False):
     """Run the fused tiled render kernel.
 
@@ -302,7 +314,7 @@ def tiled_render_v0(weights_list, vol3, coords, dirs, oy, oxc, *,
     assert xb & (xb - 1) == 0 and xb >= 4, xb  # roll-tree: pow2, XC >= 128
     assert COLS_PER_BLOCK % unroll == 0, unroll
     kernel = _make_kernel(dims, (T, R, S, yb, xb, kb), mlp_precision,
-                          jnp.dtype(interp_dtype), unroll)
+                          jnp.dtype(interp_dtype), unroll, early_stop)
 
     vmem = lambda shape: pl.BlockSpec(
         shape, lambda t, *_: (t,) + (0,) * (len(shape) - 1),
@@ -422,6 +434,7 @@ def render_image_tiled(mlp_params, vol3, xyz_ndc, dirs, z_vals, *,
                        xb: int = 32, kb: int = 4,
                        mlp_precision: str = "high",
                        interp_dtype: str = "bfloat16", unroll: int = 1,
+                       early_stop: float = 1e-4,
                        white_bkgd: bool = False,
                        fallback_fn=None, weights_list=None,
                        interpret: bool = False):
@@ -462,7 +475,7 @@ def render_image_tiled(mlp_params, vol3, xyz_ndc, dirs, z_vals, *,
                           dims=dims, tile_shape=(T, R, S), yb=yb,
                           xb=xb, kb=kb, mlp_precision=mlp_precision,
                           interp_dtype=interp_dtype, unroll=unroll,
-                          interpret=interpret)
+                          early_stop=early_stop, interpret=interpret)
     flat = untile_image(out, image_hw, tile_hw)
     rgb, depth, acc = flat[:, 0:3], flat[:, 3], flat[:, 4]
     if white_bkgd:

@@ -165,3 +165,22 @@ def test_pack_untile_roundtrip():
     back = prt.untile_image(tiled8, IMAGE_HW, TILE_HW)
     np.testing.assert_allclose(np.asarray(back[:, :3]),
                                np.asarray(vals[:, :3]))
+
+
+def test_tiled_render_early_stop_bound(mlp, scene):
+    """Transmittance early-out may drop at most `early_stop` of remaining
+    weight: outputs with the default 1e-4 match the no-early-out render
+    to that bound."""
+    from mvsnerf_tpu.ops import pallas_render_tiled as prt
+
+    vol, xyz, dirs, z_vals = scene
+    kw = dict(image_hw=IMAGE_HW, dims=DIMS, tile_hw=TILE_HW,
+              mlp_precision="highest", interpret=True, **KCFG)
+    a = prt.render_image_tiled(mlp, prt.prepare_volume(vol), xyz, dirs,
+                               z_vals, early_stop=0.0, **kw)
+    b = prt.render_image_tiled(mlp, prt.prepare_volume(vol), xyz, dirs,
+                               z_vals, early_stop=1e-4, **kw)
+    np.testing.assert_allclose(np.asarray(b["rgb"]), np.asarray(a["rgb"]),
+                               atol=1.2e-4)
+    np.testing.assert_allclose(np.asarray(b["acc"]), np.asarray(a["acc"]),
+                               atol=1.2e-4)
