@@ -200,7 +200,11 @@ class GeneralizableSystem:
 
     def fit(self, dataset, num_epochs=None, logger=None,
             ckpt_dir: str | None = None, seed: int = 0,
-            max_steps: int | None = None, ckpt_every: int = 20000):
+            max_steps: int | None = None, ckpt_every: int = 20000,
+            val_fn=None, val_every: int = 0):
+        """`val_fn(global_step)` runs every `val_every` steps and at each
+        epoch end when given — the reference validates during training via
+        the PL per-epoch val loop (train_mvs_nerf_pl.py:172-254)."""
         args = self.args
         num_epochs = num_epochs or args.num_epochs
         n = len(dataset)
@@ -233,9 +237,14 @@ class GeneralizableSystem:
                     logger.log_scalars(self.global_step, scalars)
                 if ckpt_dir and self.global_step % ckpt_every == 0:
                     self.save(ckpt_dir)
+                if val_fn is not None and val_every \
+                        and self.global_step % val_every == 0:
+                    val_fn(self.global_step)
                 if max_steps and self.global_step >= max_steps:
                     done = True
                     break
+            if val_fn is not None and not done:
+                val_fn(self.global_step)      # per-epoch, like the reference
             if done:
                 break
         if ckpt_dir:

@@ -162,9 +162,11 @@ def test_generalizable_system_runs(tmp_path):
     args = _args("--with_depth_loss --with_depth")
     sys_ = GeneralizableSystem(args)
     ds = FakeDTUDataset()
+    val_steps = []
     sys_.fit(ds, num_epochs=1, max_steps=4, ckpt_dir=str(tmp_path),
-             ckpt_every=2)
+             ckpt_every=2, val_fn=val_steps.append, val_every=2)
     assert sys_.global_step == 4
+    assert val_steps == [2, 4]  # mid-training validation fired
     out = sys_.render_view(ds[0], chunk=256, n_samples=8)
     assert out["rgb"].shape == (H, W, 3)
     assert np.isfinite(out["rgb"]).all()

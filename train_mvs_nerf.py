@@ -40,22 +40,32 @@ def main():
     system = GeneralizableSystem(args, mesh=mesh)
     ckpt_dir = os.path.join(log_dir, "ckpts")
     system.restore(ckpt_dir)  # resume-by-default
-    system.fit(train_ds, num_epochs=args.num_epochs, logger=logger,
-               ckpt_dir=ckpt_dir, max_steps=args.max_steps or None)
 
-    # validation pass (PSNR + panels)
+    # validation pass (PSNR + panels) — runs per epoch during training
+    # (the reference's PL val loop, train_mvs_nerf_pl.py:172-254) and once
+    # after the final step
     from mvsnerf_tpu.eval.metrics import psnr
     import numpy as np
-    for i in range(min(len(val_ds), args.N_vis)):
-        sample = val_ds[i]
-        out = system.render_view(sample, chunk=args.chunk * 8)
-        p = float(psnr(np.clip(out["rgb"], 0, 1), out["target"]))
-        logger.log_scalars(system.global_step + i, {"val/PSNR": p})
-        from mvsnerf_tpu.utils.vis import panel, visualize_depth
-        dvis, _ = visualize_depth(out["depth"])
-        logger.save_panel(system.global_step, f"val_{i:02d}",
-                          panel([out["target"], np.clip(out["rgb"], 0, 1),
-                                 dvis]))
+
+    def validate(step):
+        vals = []
+        for i in range(min(len(val_ds), args.N_vis)):
+            sample = val_ds[i]
+            out = system.render_view(sample, chunk=args.chunk * 8)
+            p = float(psnr(np.clip(out["rgb"], 0, 1), out["target"]))
+            vals.append(p)
+            from mvsnerf_tpu.utils.vis import panel, visualize_depth
+            dvis, _ = visualize_depth(out["depth"])
+            logger.save_panel(step, f"val_{i:02d}",
+                              panel([out["target"],
+                                     np.clip(out["rgb"], 0, 1), dvis]))
+        if vals:
+            logger.log_scalars(step, {"val/PSNR": float(np.mean(vals))})
+
+    system.fit(train_ds, num_epochs=args.num_epochs, logger=logger,
+               ckpt_dir=ckpt_dir, max_steps=args.max_steps or None,
+               val_fn=validate)
+    validate(system.global_step)
     logger.flush()
 
 
