@@ -56,6 +56,7 @@ class Evaluator:
             lambda p, im: mvsnet_apply(
                 p, im, jnp.asarray(proj_mats),
                 jnp.asarray(near_far, jnp.float32), pad=self.args.pad,
+                lindisp=self.args.use_disp,
                 warp_mode=resolve_warp_mode(
                     getattr(self.args, "warp_mode", "auto")),
                 costreg_impl=getattr(self.args, "costreg_impl", "auto"),
@@ -84,7 +85,8 @@ class Evaluator:
                 lindisp=args.use_disp)
             pts_ndc = get_ndc_coordinate(w2c_ref, intrinsic_ref, pts,
                                          inv_scale, near=nf[0], far=nf[1],
-                                         pad=args.pad)
+                                         pad=args.pad,
+                                         lindisp=args.use_disp)
             out = render_rays(
                 self.mlp, volume, pts, pts_ndc, z_vals, rays_d,
                 w2c_ref=w2c_ref, w2cs=pose_source["w2cs"],

@@ -842,26 +842,23 @@ def cost_reg_dband_apply(params, x_cm, use_running_stats: bool = False,
     cin, d0, h0, w0 = x_cm.shape
     assert d0 % 8 == 0 and h0 % 8 == 0 and w0 % 8 == 0, (d0, h0, w0)
 
-    def blocks(y):
-        return dict(p=_pick_block(y.shape[1]), rh=_pick_block(y.shape[2]),
-                    interpret=interpret, precision=precision, dtype=dtype)
-
-    def enc(name, y, conv):
-        p = params[name]
-        y = conv(y, p["conv"]["kernel"], **blocks_out(conv, y))
-        return _abn_cm(p["bn"], y, use_running_stats=use_running_stats)
-
-    def blocks_out(conv, y):
-        # block sizes constrain the OUTPUT grid of the kernel
+    def blocks(conv, y):
+        # block sizes constrain the kernel's grid: output dims for the
+        # encoders (halved by s2), input dims for the up decoders
         d, h = y.shape[1], y.shape[2]
         if conv is conv3d_s2:
             d, h = d // 2, h // 2
         return dict(p=_pick_block(d), rh=_pick_block(h),
                     interpret=interpret, precision=precision, dtype=dtype)
 
+    def enc(name, y, conv):
+        p = params[name]
+        y = conv(y, p["conv"]["kernel"], **blocks(conv, y))
+        return _abn_cm(p["bn"], y, use_running_stats=use_running_stats)
+
     def dec(name, y):
         p = params[name]
-        y = conv3d_up(y, p["deconv"]["kernel"], **blocks(y))
+        y = conv3d_up(y, p["deconv"]["kernel"], **blocks(conv3d_up, y))
         return _abn_cm(p["bn"], y, use_running_stats=use_running_stats)
 
     conv0 = enc("conv0", x_cm, conv3d_s1)

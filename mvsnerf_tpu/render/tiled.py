@@ -39,7 +39,10 @@ def pick_tile(H, W, target=2048):
 def bake_color_volume(volume, imgs, pose_source, near_far, pad):
     """Append per-view reprojected colors+masks to the encoding volume at
     every voxel center (the reference's use_color_volume layout,
-    train_mvs_nerf_finetuning_pl.py:72-80): (D, hp, wp, 8) -> (..., 20)."""
+    train_mvs_nerf_finetuning_pl.py:72-80): (D, hp, wp, 8) -> (..., 8+4V).
+    The same construction FinetuneSystem._init_volume performs for
+    use_color_volume — kept callable standalone for the eval/bench paths
+    that never build a training system."""
     from .renderer import build_color_volume
     from ..train.finetune import frustum_point_volume
 
@@ -47,7 +50,9 @@ def bake_color_volume(volume, imgs, pose_source, near_far, pad):
     intr_ref = pose_source["intrinsics"][0]
     nf = jnp.asarray(near_far, jnp.float32)
     intrinsic_s4 = intr_ref / jnp.asarray([[4.0], [4.0], [1.0]])
-    c2w_ref = jnp.linalg.inv(pose_source["w2cs"][0])
+    c2ws = pose_source.get("c2ws")
+    c2w_ref = c2ws[0] if c2ws is not None \
+        else jnp.linalg.inv(pose_source["w2cs"][0])
     vox = frustum_point_volume(hp - 2 * pad, wp - 2 * pad, d, pad, nf,
                                intrinsic_s4, c2w_ref)
     color = build_color_volume(
@@ -57,46 +62,73 @@ def bake_color_volume(volume, imgs, pose_source, near_far, pad):
     return jnp.concatenate([volume, color], -1)
 
 
+def _reject(rays, H, W):
+    return None
+
+
 def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
-                        density_volume=None, bbox=None):
+                        density_volume=None, bbox=None,
+                        color_feature=None):
     """Build the tiled-render closure, or a None-returning one when the
     configuration can't use the fused kernel (non-v0 MLP, sample count
-    not a multiple of the kernel's column block, volume too small).
+    not a multiple of the kernel's column block, volume too small or
+    misaligned, un-bakeable channel count).
 
     With `bbox` ((2, 3) world AABB) the volume coords are bbox-normalized
     instead of reference-view NDC — the fusion system's canonical-grid
     convention (train/fusion.py render_fn); the volume must then already
-    carry the baked 20 channels."""
+    carry the baked 20 channels. `color_feature` supplies pre-baked
+    per-view colors (FinetuneSystem caches them for the density-volume
+    path) so an 8-channel volume needn't be re-baked.
+
+    NDC note: `inv_scale` comes from the SOURCE view dims (imgs) — the
+    volume's feature grid is sized by them (utils.py:140-143 pad remap),
+    independent of the render-target resolution.
+    """
     from ..ops import pallas_render_tiled as prt
 
     n_total = args.N_samples + (
         args.N_importance if density_volume is not None else 0)
     if args.net_type != "v0" or n_total % prt.COLS_PER_BLOCK:
-        return lambda rays, H, W: None
+        return _reject
     from .renderer import gen_dir_feature
 
     d, hp, wp, c = volume.shape
     if bbox is not None:
         assert c >= 20, "bbox mode requires the baked color volume"
         bbox = jnp.asarray(bbox, jnp.float32)
-    # window sizes adapted to the volume (yb * kb == 128 contract)
+    # window sizes adapted to the volume (yb * kb == 128 contract); the
+    # kernel's dynamic window offsets carry 8-sublane / 128-lane alignment
+    # hints, so the volume dims must align (plan_tiles clamps origins to
+    # size - window, which is only aligned when the size is)
     yb = 32 if hp >= 32 else (16 if hp >= 16 else 8)
     xb = 32
     while xb > max(wp, 4):
         xb //= 2
-    if hp < 8 or wp < 4:
-        return lambda rays, H, W: None
+    if hp < 8 or wp < 4 or hp % 8 or wp % 4:
+        return _reject
+    if c == 8:
+        if color_feature is not None:
+            volume = jnp.concatenate([volume, color_feature], -1)
+        elif imgs is not None and imgs.shape[0] == 3:
+            volume = bake_color_volume(volume, imgs, pose_source,
+                                       near_far, args.pad)
+        else:
+            return _reject          # un-bakeable (V != 3 source views)
+    if volume.shape[-1] != 20:      # kernel lane packing is 20-channel
+        return _reject
     w2c_ref = pose_source["w2cs"][0]
     intr_ref = pose_source.get("intrinsics", [None])[0]
     nf = None if bbox is not None else jnp.asarray(near_far, jnp.float32)
-    if c == 8:
-        volume = bake_color_volume(volume, imgs, pose_source, near_far,
-                                   args.pad)
+    if bbox is None:
+        # source-view extent, NOT the render target's (pad remap contract)
+        src_h, src_w = imgs.shape[1:3]
+        inv_scale = jnp.asarray([src_w - 1.0, src_h - 1.0])
     vol3 = prt.prepare_volume(volume)
     weights = prt.pack_v0_weights_padded(mlp)
 
     @jax.jit
-    def prep(r, inv_scale):
+    def prep(r):
         pts, _, rays_d, z_vals = ray_marcher(
             jax.random.PRNGKey(0), r, args.N_samples, perturb=0.0,
             lindisp=args.use_disp, bbox_3d=bbox)
@@ -122,8 +154,7 @@ def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
         tile = pick_tile(H, W)
         if tile is None:
             return None
-        pts_ndc, angle, z_vals = prep(
-            jnp.asarray(rays), jnp.asarray([W - 1.0, H - 1.0]))
+        pts_ndc, angle, z_vals = prep(jnp.asarray(rays))
         return prt.render_image_tiled(
             mlp, vol3, pts_ndc, angle, z_vals, image_hw=(H, W),
             dims=(d, hp, wp), tile_hw=tile, yb=yb, kb=128 // yb,
@@ -132,3 +163,35 @@ def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
             interpret=jax.default_backend() == "cpu")
 
     return render
+
+
+def cached_tiled_renderer(system, volume, imgs, near_far, pose_source,
+                          density_volume=None, bbox=None,
+                          color_feature=None):
+    """make_tiled_renderer memoized on the system keyed by the live input
+    arrays: per-frame video/validation calls reuse one closure (one jit
+    trace, one color bake) until the volume/MLP actually change. Keys are
+    weakrefs — identity is only trusted while the original arrays are
+    alive (no id-reuse hazard), and stale entries don't pin HBM."""
+    import weakref
+
+    def refs():
+        leaves = [volume, *jax.tree.leaves(system.params["mlp"])]
+        if density_volume is not None:
+            leaves.append(density_volume)
+        return leaves
+
+    cached = getattr(system, "_tiled_cache", None)
+    if cached is not None:
+        old_refs, fn = cached
+        live = [r() for r in old_refs]
+        now = refs()
+        if len(live) == len(now) and \
+                all(a is b and a is not None for a, b in zip(live, now)):
+            return fn
+    fn = make_tiled_renderer(system.args, system.params["mlp"], volume,
+                             imgs, near_far, pose_source,
+                             density_volume=density_volume, bbox=bbox,
+                             color_feature=color_feature)
+    system._tiled_cache = ([weakref.ref(a) for a in refs()], fn)
+    return fn

@@ -293,11 +293,11 @@ class FinetuneSystem:
         chunked path is the fallback."""
         if image_hw is not None and \
                 getattr(self.args, "render_mode", "chunked") == "tiled":
-            from ..render.tiled import make_tiled_renderer
-            out = make_tiled_renderer(
-                self.args, self.params["mlp"], self.params["volume"],
-                self.imgs, self.near_far, self.pose_source,
-                density_volume=self.density_volume)(rays, *image_hw)
+            from ..render.tiled import cached_tiled_renderer
+            out = cached_tiled_renderer(
+                self, self.params["volume"], self.imgs, self.near_far,
+                self.pose_source, density_volume=self.density_volume,
+                color_feature=self.color_feature)(rays, *image_hw)
             if out is not None:
                 return out
         n = rays.shape[0]

@@ -357,10 +357,10 @@ class FusionFinetuneSystem:
         density = self.density_volume if self.args.N_importance else None
         if image_hw is not None and \
                 getattr(self.args, "render_mode", "chunked") == "tiled":
-            from ..render.tiled import make_tiled_renderer
-            out = make_tiled_renderer(
-                self.args, self.params["mlp"], self.params["volume"],
-                None, None, self.pose_source_ref, density_volume=density,
+            from ..render.tiled import cached_tiled_renderer
+            out = cached_tiled_renderer(
+                self, self.params["volume"], None, None,
+                self.pose_source_ref, density_volume=density,
                 bbox=self.train_dataset.bbox_3d)(rays, *image_hw)
             if out is not None:
                 return out
