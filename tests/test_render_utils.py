@@ -206,3 +206,47 @@ def test_render_image_chunked_pad_band_contract():
     padded = render_image_chunked(chunk_fn, (ndc,), n, chunk=128)
     np.testing.assert_allclose(np.asarray(padded["v"]),
                                np.asarray(exact["v"]), atol=1e-6)
+
+
+def test_pick_tile():
+    from mvsnerf_tpu.render.tiled import pick_tile
+    assert pick_tile(512, 640) == (32, 64)
+    assert pick_tile(32, 32) == (32, 32)
+    th, tw = pick_tile(128, 160)
+    assert 128 % th == 0 and 160 % tw == 0 and th * tw <= 2048
+    assert pick_tile(7, 13) is None  # ragged image -> chunked path
+
+
+def test_make_tiled_renderer_rejections():
+    """Configurations the fused kernel can't serve return the documented
+    None-closure instead of crashing (code-review finding)."""
+    from mvsnerf_tpu.config import config_parser
+    from mvsnerf_tpu.models import init_mlp
+    from mvsnerf_tpu.render.tiled import make_tiled_renderer
+    import jax
+    import jax.numpy as jnp
+
+    mlp = init_mlp(jax.random.PRNGKey(0), "v0")
+    pose = {"w2cs": jnp.eye(4)[None], "intrinsics": jnp.eye(3)[None]}
+    imgs = jnp.zeros((3, 32, 32, 3))
+
+    def fn(cmd, volume, imgs_=imgs):
+        args = config_parser(cmd=cmd)
+        return make_tiled_renderer(args, mlp, volume, imgs_, [2.0, 6.0],
+                                   pose)
+
+    vol8 = jnp.zeros((16, 16, 16, 8))
+    rays = np.zeros((16, 8), np.float32)
+    # N_samples not a multiple of the kernel column block
+    assert fn("--N_samples 17", vol8)(rays, 4, 4) is None
+    # non-v0 MLP
+    assert fn("--N_samples 32 --net_type v2", vol8)(rays, 4, 4) is None
+    # misaligned volume dims (hp % 8)
+    assert fn("--N_samples 32", jnp.zeros((16, 12, 16, 8)))(
+        rays, 4, 4) is None
+    # un-bakeable channel count (V != 3 source views)
+    assert fn("--N_samples 32", vol8,
+              jnp.zeros((4, 32, 32, 3)))(rays, 4, 4) is None
+    # 24-channel volume (V=4 bake) is not the kernel's 20-channel packing
+    assert fn("--N_samples 32", jnp.zeros((16, 16, 16, 24)))(
+        rays, 4, 4) is None
