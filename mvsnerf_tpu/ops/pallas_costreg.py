@@ -825,6 +825,13 @@ def _pick_block(n: int, cap: int = 8) -> int:
     return 1
 
 
+def _pick_rows(h: int) -> int:
+    """Row-block size for the (sublane) H axis: Mosaic requires the
+    second-to-last block dim be a multiple of 8 or span the whole axis
+    (deep U-Net levels hit H=44/22 at DTU 640x512)."""
+    return 8 if h % 8 == 0 else h
+
+
 def cost_reg_dband_apply(params, x_cm, use_running_stats: bool = False,
                          interpret: bool | None = None, precision=None,
                          dtype=None):
@@ -848,7 +855,7 @@ def cost_reg_dband_apply(params, x_cm, use_running_stats: bool = False,
         d, h = y.shape[1], y.shape[2]
         if conv is conv3d_s2:
             d, h = d // 2, h // 2
-        return dict(p=_pick_block(d), rh=_pick_block(h),
+        return dict(p=_pick_block(d), rh=_pick_rows(h),
                     interpret=interpret, precision=precision, dtype=dtype)
 
     def enc(name, y, conv):

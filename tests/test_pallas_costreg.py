@@ -221,3 +221,22 @@ def test_costreg_dband_bf16_close_to_f32():
     g = jax.grad(lambda x_: jnp.sum(pc.cost_reg_dband_apply(
         p, x_, interpret=True, dtype=jnp.bfloat16) ** 2))(x_cm)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_costreg_dband_rows_not_multiple_of_8():
+    # Production DTU 640x512 hits H=44/22 at the deep levels; the row
+    # block must then span the whole axis (Mosaic: second-to-last block
+    # dim % 8 == 0 or == axis). Levels here: H 24 -> 12 -> 6 -> 3.
+    from mvsnerf_tpu.models import init_mvsnet
+    from mvsnerf_tpu.models.mvsnet import cost_reg_apply
+    assert pc._pick_rows(44) == 44 and pc._pick_rows(22) == 22
+    assert pc._pick_rows(176) == 8 and pc._pick_rows(88) == 8
+    p = init_mvsnet(jax.random.PRNGKey(0))["cost_reg_2"]
+    x = jnp.asarray(
+        RNG.standard_normal((1, 16, 24, 16, 41)).astype(np.float32))
+    ref = cost_reg_apply(p, x)[0]
+    out = pc.cost_reg_dband_apply(p, jnp.transpose(x[0], (3, 0, 1, 2)),
+                                  interpret=True,
+                                  precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
