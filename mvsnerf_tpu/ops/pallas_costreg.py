@@ -92,9 +92,22 @@ def _shift_lanes(c, kw: int):
     return jnp.where(lane == w - 1, 0.0, pltpu.roll(c, w - 1, 1))
 
 
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _pad_rows(x, rows: int):
+    """Zero-pad the row axis (dim 2 of (C, D, H, W)) up to `rows`: the
+    manual window DMAs slice the 8-tiled sublane axis, so each block's
+    row window is rounded up to whole tiles and edge blocks over-read."""
+    if x.shape[2] >= rows:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, rows - x.shape[2]), (0, 0)))
+
+
 def _make_s1_kernel(shp, prec):
-    """Forward stride-1 kernel. shp = (Cin, Cout, P, RH, W, SB, RB)."""
-    (cin, cout, P, RH, W, SB, RB) = shp
+    """Forward stride-1 kernel. shp = (Cin, Cout, P, RH, RWIN, W, SB, RB)."""
+    (cin, cout, P, RH, RWIN, W, SB, RB) = shp
     win = P + 2
     k0 = cin * win
 
@@ -106,7 +119,7 @@ def _make_s1_kernel(shp, prec):
 
         def dma(slot, si, ri):
             return pltpu.make_async_copy(
-                x_hbm.at[:, pl.ds(si * P, win), pl.ds(ri * RH, RH + 2), :],
+                x_hbm.at[:, pl.ds(si * P, win), pl.ds(ri * RH, RWIN), :],
                 wbuf.at[slot], sem.at[slot])
 
         @pl.when(i == 0)
@@ -160,8 +173,10 @@ def conv3d_s1_dband(x_pad, a, *, p: int = 8, rh: int = 8,
     cout = a.shape[2] // p
     assert a.shape == (3, 3, cout * p, cin * win), (a.shape, cin, win)
     sb, rb = d // p, h // rh
+    rwin = _round8(rh + 2)
+    x_pad = _pad_rows(x_pad, (rb - 1) * rh + rwin)
 
-    kern = _make_s1_kernel((cin, cout, p, rh, w, sb, rb),
+    kern = _make_s1_kernel((cin, cout, p, rh, rwin, w, sb, rb),
                            INTERP if precision is None else precision)
     return pl.pallas_call(
         kern,
@@ -175,7 +190,7 @@ def conv3d_s1_dband(x_pad, a, *, p: int = 8, rh: int = 8,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cout, d, h, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, cin, win, rh + 2, w), x_pad.dtype),
+            pltpu.VMEM((2, cin, win, rwin, w), x_pad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -206,9 +221,9 @@ def _make_s2_kernel(shp, prec):
     """Stride-2 forward. Column taps map to parity planes: abs col
     2w+kw-1 is x_odd[w-1] (kw=0, right-shift), x_even[w] (kw=1),
     x_odd[w] (kw=2)."""
-    (cin, cout, P, RH, W2, SB, RB) = shp
+    (cin, cout, P, RH, RWIN, W2, SB, RB) = shp
     win = 2 * P + 1
-    rwin = 2 * RH + 1
+    rwin = RWIN
     k0 = cin * win
 
     def kernel(a_ref, xe_hbm, xo_hbm, out_ref, we, wo, sem):
@@ -281,8 +296,11 @@ def conv3d_s2_dband(xe, xo, a, *, p: int = 8, rh: int = 8,
     cout = a.shape[2] // p
     assert a.shape == (3, 3, cout * p, cin * win), (a.shape, cin, win)
     sb, rb = do // p, ho // rh
+    rwin = _round8(2 * rh + 1)
+    xe = _pad_rows(xe, (rb - 1) * 2 * rh + rwin)
+    xo = _pad_rows(xo, (rb - 1) * 2 * rh + rwin)
 
-    kern = _make_s2_kernel((cin, cout, p, rh, w2, sb, rb),
+    kern = _make_s2_kernel((cin, cout, p, rh, rwin, w2, sb, rb),
                            INTERP if precision is None else precision)
     return pl.pallas_call(
         kern,
@@ -297,8 +315,8 @@ def conv3d_s2_dband(xe, xo, a, *, p: int = 8, rh: int = 8,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((cout, do, ho, w2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, cin, win, 2 * rh + 1, w2), xe.dtype),
-            pltpu.VMEM((2, cin, win, 2 * rh + 1, w2), xe.dtype),
+            pltpu.VMEM((2, cin, win, rwin, w2), xe.dtype),
+            pltpu.VMEM((2, cin, win, rwin, w2), xe.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -338,9 +356,9 @@ def _make_up_kernel(shp, prec):
     """Transposed stride-2 forward: out rows/planes interleave in-kernel
     (parity in the banded A and the kh pairing); out column parities come
     out as two W-wide tensors, interleaved in XLA."""
-    (cin, cout, P, RH, W, SB, RB) = shp
+    (cin, cout, P, RH, RWIN, W, SB, RB) = shp
     win = P + 1
-    rwin = RH + 1
+    rwin = RWIN
     k0 = cin * win
     m = cout * 2 * P
 
@@ -351,9 +369,11 @@ def _make_up_kernel(shp, prec):
         nblk = SB * RB
 
         def dma(slot, si, ri):
+            # row window starts one row EARLY (at ri*RH, 8-aligned for the
+            # tiled sublane axis) — in-window row index = input row + 1
             return pltpu.make_async_copy(
                 x_hbm.at[:, pl.ds(si * P + 1, win),
-                         pl.ds(ri * RH + 1, rwin), :],
+                         pl.ds(ri * RH, rwin), :],
                 wbuf.at[slot], sem.at[slot])
 
         @pl.when(i == 0)
@@ -377,7 +397,9 @@ def _make_up_kernel(shp, prec):
         for rh in range(RH):
             for ph in range(2):
                 # (kh, window-row) pairs feeding output row 2rh+ph
-                rows = [(1, rh)] if ph == 0 else [(0, rh), (2, rh + 1)]
+                # (+1: the window starts one row above the block)
+                rows = ([(1, rh + 1)] if ph == 0
+                        else [(0, rh + 1), (2, rh + 2)])
                 acc_e = jnp.zeros((m, W), jnp.float32)
                 acc_o = jnp.zeros((m, W), jnp.float32)
                 for kh, wr in rows:
@@ -416,8 +438,10 @@ def conv3d_up_dband(x_pad, a, *, p: int = 8, rh: int = 8,
     cout = a.shape[2] // (2 * p)
     assert a.shape == (3, 3, cout * 2 * p, cin * win), (a.shape,)
     sb, rb = d // p, h // rh
+    rwin = _round8(rh + 2)
+    x_pad = _pad_rows(x_pad, (rb - 1) * rh + rwin)
 
-    kern = _make_up_kernel((cin, cout, p, rh, w, sb, rb),
+    kern = _make_up_kernel((cin, cout, p, rh, rwin, w, sb, rb),
                            INTERP if precision is None else precision)
     out_sds = jax.ShapeDtypeStruct((cout, 2 * d, 2 * h, w), jnp.float32)
     out_spec = pl.BlockSpec((cout, 2 * p, 2 * rh, w),
@@ -434,7 +458,7 @@ def conv3d_up_dband(x_pad, a, *, p: int = 8, rh: int = 8,
         out_specs=(out_spec, out_spec),
         out_shape=(out_sds, out_sds),
         scratch_shapes=[
-            pltpu.VMEM((2, cin, win, rh + 1, w), x_pad.dtype),
+            pltpu.VMEM((2, cin, win, rwin, w), x_pad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -458,7 +482,7 @@ def _make_s1_wgrad_kernel(shp, prec):
     """Accumulate WG[kh, kw, (ci, q), (co, p)] = sum_blocks B_kh @ G_kw^T
     over the whole volume; the dense (3,3,3,Cin,Cout) gradient is a cheap
     banded extraction in XLA afterwards (same selection as build_a)."""
-    (cin, cout, P, RH, W, SB, RB) = shp
+    (cin, cout, P, RH, RWIN, W, SB, RB) = shp
     win = P + 2
     k0 = cin * win
 
@@ -470,7 +494,7 @@ def _make_s1_wgrad_kernel(shp, prec):
 
         def dma(slot, si, ri):
             return pltpu.make_async_copy(
-                x_hbm.at[:, pl.ds(si * P, win), pl.ds(ri * RH, RH + 2), :],
+                x_hbm.at[:, pl.ds(si * P, win), pl.ds(ri * RH, RWIN), :],
                 wbuf.at[slot], sem.at[slot])
 
         @pl.when(i == 0)
@@ -515,7 +539,9 @@ def _s1_wgrad_dband(x_pad, gy, *, p: int = 8, rh: int = 8,
     cout = gy.shape[0]
     win = p + 2
     sb, rb = d // p, h // rh
-    kern = _make_s1_wgrad_kernel((cin, cout, p, rh, w, sb, rb),
+    rwin = _round8(rh + 2)
+    x_pad = _pad_rows(x_pad, (rb - 1) * rh + rwin)
+    kern = _make_s1_wgrad_kernel((cin, cout, p, rh, rwin, w, sb, rb),
                                  INTERP if precision is None else precision)
     return pl.pallas_call(
         kern,
@@ -531,7 +557,7 @@ def _s1_wgrad_dband(x_pad, gy, *, p: int = 8, rh: int = 8,
         out_shape=jax.ShapeDtypeStruct((3, 3, cin * win, cout * p),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, cin, win, rh + 2, w), x_pad.dtype),
+            pltpu.VMEM((2, cin, win, rwin, w), x_pad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -556,9 +582,9 @@ def _make_s2_wgrad_kernel(shp, prec):
     """WG[kh, kw, (ci, q), (co, p)] accumulation for the stride-2 conv:
     tap kw pairs B_even (kw=1) / B_odd columns with gy columns per the
     forward's shift rules."""
-    (cin, cout, P, RH, W2, SB, RB) = shp
+    (cin, cout, P, RH, RWIN, W2, SB, RB) = shp
     win = 2 * P + 1
-    rwin = 2 * RH + 1
+    rwin = RWIN
     k0 = cin * win
 
     def kernel(gy_ref, xe_hbm, xo_hbm, wg_ref, we, wo, sem):
@@ -619,7 +645,10 @@ def _s2_wgrad_dband(xe, xo, gy, *, p: int = 8, rh: int = 8,
     cout = gy.shape[0]
     win = 2 * p + 1
     sb, rb = do // p, ho // rh
-    kern = _make_s2_wgrad_kernel((cin, cout, p, rh, w2, sb, rb),
+    rwin = _round8(2 * rh + 1)
+    xe = _pad_rows(xe, (rb - 1) * 2 * rh + rwin)
+    xo = _pad_rows(xo, (rb - 1) * 2 * rh + rwin)
+    kern = _make_s2_wgrad_kernel((cin, cout, p, rh, rwin, w2, sb, rb),
                                  INTERP if precision is None else precision)
     return pl.pallas_call(
         kern,
@@ -636,8 +665,8 @@ def _s2_wgrad_dband(xe, xo, gy, *, p: int = 8, rh: int = 8,
         out_shape=jax.ShapeDtypeStruct((3, 3, cin * win, cout * p),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, cin, win, 2 * rh + 1, w2), xe.dtype),
-            pltpu.VMEM((2, cin, win, 2 * rh + 1, w2), xe.dtype),
+            pltpu.VMEM((2, cin, win, rwin, w2), xe.dtype),
+            pltpu.VMEM((2, cin, win, rwin, w2), xe.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
