@@ -16,6 +16,9 @@ import optax
 
 from mvsnerf_tpu.config import config_parser
 from mvsnerf_tpu.train.generalizable import GeneralizableSystem
+from mvsnerf_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
 
 H, W = 512, 640
 
@@ -94,7 +97,7 @@ t0 = time.perf_counter()
 iters = 10
 for i in range(iters):
     p, o, loss, aux = step(p, o, batch, jax.random.fold_in(key, i))
-jax.block_until_ready(loss)
+_ = float(loss)  # force value fetch — axon block_until_ready returns early
 dt = (time.perf_counter() - t0) / iters
 print(f"{'full train step (fwd+bwd+adam)':34s} {dt * 1e3:9.2f} ms "
       f"({args.batch_size / dt:.0f} rays/s)")

@@ -26,6 +26,9 @@ import jax.numpy as jnp
 from mvsnerf_tpu.models import init_mvsnet
 from mvsnerf_tpu.models.costreg_packed import cost_reg_packed_apply
 from mvsnerf_tpu.ops import pallas_costreg as pc
+from mvsnerf_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--quick", action="store_true")
