@@ -1,26 +1,32 @@
-"""Benchmarks for the three BASELINE headline workloads, one JSON line each:
+"""Benchmarks for the BASELINE headline workloads, one JSON line each:
 
 1. finetune_train_rays_per_sec_per_chip — per-scene fine-tuning step
    (BASELINE config 3). Anchor: 10k iterations x 1024 rays in ~15 min on one
    RTX 2080 Ti (/root/reference/README.md:135, opt.py:22) = 11,378 rays/s.
-2. generalizable_train_step_ms — MVSNet + 1024-ray render + backward + Adam
+2. render_rays_per_sec_per_chip — full-image 640x512 no-finetune render at
+   N_samples=128 (configs 1-2) on the EXACT chunked path (bit-comparable to
+   renderer.ipynb cells 4-18 semantics: lax.map over ray chunks).
+3. render_tiled_rays_per_sec_per_chip — same image on the APPROXIMATE fused
+   tiled Pallas path over a color-baked volume (ops/pallas_render_tiled.py;
+   quality delta vs exact documented in docs/status.md).
+   The reference publishes no render throughput; the anchor for both is
+   DERIVED from the fine-tune anchor as forward-only ~= 3x the fwd+bwd step
+   throughput (backward ~2x forward) = 34,133 rays/s.
+4. generalizable_train_step_ms — MVSNet + 1024-ray render + backward + Adam
    at DTU resolution (config 4). Anchor: 6 epochs DTU in ~30 h over 181,104
    steps (README.md:61-62; ckpt global_step) = 596.6 ms/step.
-3. render_rays_per_sec_per_chip — full-image 640x512 no-finetune render at
-   N_samples=128 (configs 1-2, renderer.ipynb chunk loop). The reference
-   publishes no render throughput; the anchor is DERIVED from the fine-tune
-   anchor as forward-only ~= 3x the fwd+bwd step throughput (backward ~2x
-   forward) = 34,133 rays/s. Re-measure on a 2080 Ti to firm up.
 
-Each metric reports the BEST of 3 timing windows as `value` (dispatch-tunnel
-hiccups only ever slow a window down) plus all window values and the median,
-so numbers stay comparable across runs either way.
+Timing method: DEVICE-LOOPED. Per-dispatch overhead through the axon TPU
+tunnel is large and erratic (100 ms - 9 s per call measured while the true
+device time was sub-ms — scripts/probe_axon_timing.py), so every metric
+runs its op N times inside one compiled executable (lax.scan) and
+differences two loop lengths to cancel the constant dispatch/fetch cost
+(mvsnerf_tpu/utils/devtime.py). Python-loop numbers would measure the
+tunnel, not the chip.
 """
 
 import json
-from functools import partial
 import os
-import statistics
 import time
 
 import numpy as np
@@ -41,28 +47,54 @@ N_RAYS = 1024            # opt.py:22 default batch_size
 N_SAMPLES = 128          # opt.py:64 default
 
 
-def _windows(fn, n_windows=3, iters=50):
-    """Run `fn(i)` iters times per window; return per-window seconds."""
-    out = []
-    for rep in range(n_windows):
-        t0 = time.perf_counter()
-        last = None
-        for i in range(iters):
-            last = fn(rep * iters + i)
-        jax.block_until_ready(last)
-        out.append(time.perf_counter() - t0)
-    return out
-
-
-def _emit(metric, value, unit, vs_baseline, windows_values):
-    print(json.dumps({
+def _emit(metric, value, unit, vs_baseline, reps=None):
+    rec = {
         "metric": metric,
         "value": round(value, 1),
         "unit": unit,
         "vs_baseline": round(vs_baseline, 3),
-        "windows": [round(v, 1) for v in windows_values],
-        "median": round(statistics.median(windows_values), 1),
-    }), flush=True)
+        "method": "device_loop",
+    }
+    if reps:
+        rec["reps"] = [round(v, 4) for v in reps]
+    print(json.dumps(rec), flush=True)
+
+
+def _scan_rate(update, state0, n_short, n_long, reps=3):
+    """Per-step device seconds of `update(state, i) -> state` by scanning
+    two loop lengths inside single executables and differencing (cancels
+    dispatch/fetch cost). Returns (sec_per_step_best, per_rep_list)."""
+    def make(n):
+        @jax.jit
+        def steps(state):
+            def body(c, i):
+                return update(c, i), None
+            out, _ = jax.lax.scan(body, state, jnp.arange(n))
+            return out
+        return steps
+
+    short, long_ = make(n_short), make(n_long)
+
+    def run(fn, state):
+        out = fn(state)
+        # value fetch forces completion (axon block_until_ready can
+        # return early)
+        _ = float(jax.tree.leaves(out)[0].ravel()[0])
+        return out
+
+    state = run(short, state0)      # compile
+    state = run(long_, state)
+    ts, tl = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state = run(short, state)
+        ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        state = run(long_, state)
+        tl.append(time.perf_counter() - t0)
+    per_rep = [(b - a) / (n_long - n_short) for a, b in zip(ts, tl)]
+    best = (min(tl) - min(ts)) / (n_long - n_short)
+    return best, per_rep
 
 
 def make_scene(rng, v=3):
@@ -95,7 +127,9 @@ def make_scene(rng, v=3):
 def bench_finetune_and_render():
     from mvsnerf_tpu.models import init_mlp, init_mvsnet, mvsnet_apply
     from mvsnerf_tpu.render import render_rays
+    from mvsnerf_tpu.render.renderer import render_image_chunked
     from mvsnerf_tpu.ops import get_ndc_coordinate, rays_from_pixels
+    from mvsnerf_tpu.utils.devtime import device_time
 
     rng = np.random.default_rng(0)
     if os.path.exists(CKPT):
@@ -133,7 +167,12 @@ def bench_finetune_and_render():
                            fast_volume_grad=True, volume_band_k=4)
 
     # ---- fine-tune train step (config 3) --------------------------------
-    def loss_fn(params, xs, ys, target, key):
+    xs = jnp.asarray(rng.uniform(0, W - 1, N_RAYS).astype(np.float32))
+    ys = jnp.asarray(rng.uniform(0, H - 1, N_RAYS).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (N_RAYS, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    def loss_fn(params, key):
         t = jnp.linspace(0.0, 1.0, N_SAMPLES)
         z = near_far[0] * (1 - t) + near_far[1] * t
         z_vals = jnp.broadcast_to(z, (N_RAYS, N_SAMPLES))
@@ -148,64 +187,46 @@ def bench_finetune_and_render():
     opt = optax.adam(5e-4)
     opt_state = opt.init(params)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, xs, ys, target, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, xs, ys, target, key)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    def update(state, i):
+        p, o = state
+        grads = jax.grad(loss_fn)(p, jax.random.fold_in(key, i))
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o
 
-    key = jax.random.PRNGKey(0)
-    xs = jnp.asarray(rng.uniform(0, W - 1, N_RAYS).astype(np.float32))
-    ys = jnp.asarray(rng.uniform(0, H - 1, N_RAYS).astype(np.float32))
-    target = jnp.asarray(rng.uniform(0, 1, (N_RAYS, 3)).astype(np.float32))
-
-    state = [params, opt_state]
-
-    def one_step(i):
-        state[0], state[1], loss = step(state[0], state[1], xs, ys, target,
-                                        jax.random.fold_in(key, i))
-        return loss
-
-    for i in range(3):          # warmup / compile
-        one_step(i)
-    jax.block_until_ready(state[0])
-
-    n_iters = 50
-    win = _windows(one_step, n_windows=3, iters=n_iters)
-    rates = [N_RAYS * n_iters / dt for dt in win]
-    _emit("finetune_train_rays_per_sec_per_chip", max(rates), "rays/s",
-          max(rates) / FINETUNE_BASELINE_RAYS_PER_SEC, rates)
+    sec, reps = _scan_rate(update, (params, opt_state),
+                           n_short=5, n_long=45)
+    rate = N_RAYS / sec
+    _emit("finetune_train_rays_per_sec_per_chip", rate, "rays/s",
+          rate / FINETUNE_BASELINE_RAYS_PER_SEC,
+          [N_RAYS / r for r in reps])
 
     # ---- full-image render at 640x512 (configs 1-2) ---------------------
-    params = state[0]
+    # (a) EXACT chunked path — renderer.ipynb cells 4-18 semantics
     chunk = 16384
     t = jnp.linspace(0.0, 1.0, N_SAMPLES)
     z_row = near_far[0] * (1 - t) + near_far[1] * t
 
-    @jax.jit
-    def render_chunk(params, xs, ys):
+    def render_chunk(xs, ys):
         z_vals = jnp.broadcast_to(z_row, (xs.shape[0], N_SAMPLES))
         out = sample_render(params, xs, ys, z_vals)
-        return out["rgb"], out["depth"]
+        return {"rgb": out["rgb"], "depth": out["depth"]}
 
     gy, gx = np.mgrid[0:H, 0:W].astype(np.float32)
     xs_all = jnp.asarray(gx.reshape(-1))
     ys_all = jnp.asarray(gy.reshape(-1))
-    n_chunks = H * W // chunk
 
-    def render_image(_):
-        outs = []
-        for ci in range(n_chunks):
-            sl = slice(ci * chunk, (ci + 1) * chunk)
-            outs.append(render_chunk(params, xs_all[sl], ys_all[sl]))
-        return outs[-1][0]
+    def render_image(xs, ys):
+        return render_image_chunked(render_chunk, (xs, ys), H * W,
+                                    chunk=chunk)
 
-    # preferred path: fused tiled Pallas kernel over a color-baked volume
-    # (ops/pallas_render_tiled.py); the direct chunked path is the
-    # fallback when tile locality fails.
-    tiled_image = None
+    sec = device_time(render_image, xs_all, ys_all, iters=4, base_iters=1)
+    rate = H * W / sec
+    _emit("render_rays_per_sec_per_chip", rate, "rays/s",
+          rate / RENDER_BASELINE_RAYS_PER_SEC)
+
+    # (b) APPROXIMATE fused tiled Pallas path over a color-baked volume
     try:
-        from mvsnerf_tpu.eval.evaluate import bake_color_volume
+        from mvsnerf_tpu.render.tiled import bake_color_volume
         from mvsnerf_tpu.ops import pallas_render_tiled as prt
         from mvsnerf_tpu.render.renderer import gen_dir_feature
 
@@ -232,27 +253,37 @@ def bench_finetune_and_render():
 
         pts_ndc_all, angle_all, zv_all = full_ray_data(xs_all, ys_all)
 
-        def tiled_image(_):
-            out = prt.render_image_tiled(
-                params["mlp"], vol3, pts_ndc_all, angle_all, zv_all,
-                image_hw=(H, W), dims=dims, weights_list=wlist,
-                mlp_precision="high", fallback_fn=lambda: None)
-            return None if out is None else out["rgb"]
+        # plan once on host (per-scene, static across frames), then time
+        # the device render: pack + fused kernel + untile
+        tile_hw = (32, 64)
+        xyz_t, coords, dirs_t = prt.pack_tiles(
+            pts_ndc_all, angle_all, zv_all, image_hw=(H, W),
+            tile_hw=tile_hw)
+        T, R, S = xyz_t.shape[:3]
+        oy, oxc, zmin, ok = prt.plan_tiles(xyz_t, dims=dims,
+                                           tile_shape=(T, R, S),
+                                           yb=32, kb=4, xb=32)
+        if not bool(ok):
+            raise RuntimeError("tile locality rejected on the bench scene")
 
-        if tiled_image(0) is None:      # locality rejected -> fallback
-            tiled_image = None
+        # vol3 must be an ARGUMENT: closures become jaxpr constants and a
+        # 225MB bf16 volume literal exceeds the remote-compile body limit.
+        # coords first so the timing loop's chain perturbation touches the
+        # small array, not the volume.
+        def tiled_image(coords, dirs_t, vol3):
+            out = prt.tiled_render_v0(
+                wlist, vol3, coords, dirs_t, oy, oxc, dims=dims,
+                tile_shape=(T, R, S), yb=32, xb=32, kb=4,
+                mlp_precision="high")
+            return prt.untile_image(out, (H, W), tile_hw)
+
+        sec = device_time(tiled_image, coords, dirs_t, vol3, iters=6,
+                          base_iters=1)
+        rate = H * W / sec
+        _emit("render_tiled_rays_per_sec_per_chip", rate, "rays/s",
+              rate / RENDER_BASELINE_RAYS_PER_SEC)
     except Exception as e:  # noqa: BLE001 — bench must emit either way
         print(f"# tiled render path unavailable: {e!r}", flush=True)
-        tiled_image = None
-
-    if tiled_image is not None:
-        win = _windows(tiled_image, n_windows=3, iters=3)
-    else:
-        render_image(0)         # warmup / compile
-        win = _windows(render_image, n_windows=3, iters=3)
-    rates = [H * W * 3 / dt for dt in win]
-    _emit("render_rays_per_sec_per_chip", max(rates), "rays/s",
-          max(rates) / RENDER_BASELINE_RAYS_PER_SEC, rates)
 
 
 def bench_generalizable():
@@ -278,26 +309,23 @@ def bench_generalizable():
             rng.uniform(2, 5, (4, H, W)).astype(np.float32)),
     }
     system = GeneralizableSystem(args)
-    step, _ = system._make_step((H, W), args.batch_size, args.N_samples,
-                                10000)
+    _, loss_fn = system._make_step((H, W), args.batch_size, args.N_samples,
+                                   10000)
+    opt = system.optimizer
     key = jax.random.PRNGKey(0)
 
-    def one_step(i):
-        system.params, system.opt_state, loss, _ = step(
-            system.params, system.opt_state, batch,
-            jax.random.fold_in(key, i))
-        return loss
+    def update(state, i):
+        p, o = state
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, batch, jax.random.fold_in(key, i))
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o
 
-    for i in range(3):          # warmup / compile
-        one_step(i)
-    jax.block_until_ready(system.params)
-
-    n_iters = 20
-    win = _windows(one_step, n_windows=3, iters=n_iters)
-    times_ms = [dt / n_iters * 1e3 for dt in win]
-    best = min(times_ms)
-    _emit("generalizable_train_step_ms", best, "ms",
-          GENERALIZABLE_BASELINE_STEP_MS / best, times_ms)
+    sec, reps = _scan_rate(update, (system.params, system.opt_state),
+                           n_short=2, n_long=12)
+    ms = sec * 1e3
+    _emit("generalizable_train_step_ms", ms, "ms",
+          GENERALIZABLE_BASELINE_STEP_MS / ms, [r * 1e3 for r in reps])
 
 
 def main():

@@ -96,6 +96,22 @@ def _round8(n: int) -> int:
     return -(-n // 8) * 8
 
 
+def _round128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def _pad_w(x, wt: int):
+    """Zero-pad the lane axis (last dim) up to `wt`. Mosaic requires HBM
+    window-DMA slices along the lane dim be 128-aligned (measured on
+    device: W=208/64 FAIL, W=128/256 OK — scripts/probe_axon_timing.py),
+    so every dband kernel operand is padded to a 128 multiple and the
+    result sliced back. Zero lanes reproduce the 'same'-conv zero
+    boundary, so values in the logical region are unchanged."""
+    if x.shape[-1] == wt:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, wt - x.shape[-1])])
+
+
 def _pad_rows(x, rows: int):
     """Zero-pad the row axis (dim 2 of (C, D, H, W)) up to `rows`: the
     manual window DMAs slice the 8-tiled sublane axis, so each block's
@@ -103,6 +119,36 @@ def _pad_rows(x, rows: int):
     if x.shape[2] >= rows:
         return x
     return jnp.pad(x, ((0, 0), (0, 0), (0, rows - x.shape[2]), (0, 0)))
+
+
+def _check_blocks(rh_in: int, rb: int, w: int, interpret: bool):
+    """Mosaic window-DMA alignment contract (fails with an opaque Mosaic
+    error or silent misbehavior otherwise): row-window starts (ri*rh on
+    the 8-tiled sublane axis) must be 8-aligned unless there is a single
+    row block, and the lane axis must be whole 128-lane tiles (probed on
+    device: W=208/64 FAIL, 128/256 OK). `rh_in` is the INPUT row stride
+    per block (2*rh for the stride-2 kernels). Interpret mode has no
+    tiling, so the contract is only enforced for compiled kernels."""
+    if interpret:
+        return
+    assert rh_in % 8 == 0 or rb == 1, \
+        (f"row block {rh_in} with {rb} blocks starts unaligned sublane "
+         "window DMAs (need rh % 8 == 0 or a single row block)")
+    assert w % 128 == 0, \
+        (f"lane axis W={w} must be a multiple of 128 on device; "
+         "wrap with _pad_w/_round128 (see conv3d_s1/_s2/_up)")
+
+
+
+def _check_vmem(window_bytes: int, tag: str):
+    """Guard the double-buffered window scratch against the 110MB
+    vmem_limit_bytes budget — whole-axis row blocks (rh spanning H when
+    H % 8 != 0) scale the window with H, which can silently explode for
+    large unaligned levels."""
+    assert window_bytes <= 100 * 1024 * 1024, \
+        (f"{tag}: window scratch {window_bytes / 2**20:.0f} MiB exceeds "
+         "the VMEM budget; use cost_reg_apply/cost_reg_packed_apply for "
+         "this shape or shrink the row block")
 
 
 def _make_s1_kernel(shp, prec):
@@ -173,8 +219,11 @@ def conv3d_s1_dband(x_pad, a, *, p: int = 8, rh: int = 8,
     cout = a.shape[2] // p
     assert a.shape == (3, 3, cout * p, cin * win), (a.shape, cin, win)
     sb, rb = d // p, h // rh
+    _check_blocks(rh, rb, w, interpret)
     rwin = _round8(rh + 2)
     x_pad = _pad_rows(x_pad, (rb - 1) * rh + rwin)
+    _check_vmem(2 * cin * win * rwin * w * x_pad.dtype.itemsize,
+                tag="dband window")
 
     kern = _make_s1_kernel((cin, cout, p, rh, rwin, w, sb, rb),
                            INTERP if precision is None else precision)
@@ -296,9 +345,12 @@ def conv3d_s2_dband(xe, xo, a, *, p: int = 8, rh: int = 8,
     cout = a.shape[2] // p
     assert a.shape == (3, 3, cout * p, cin * win), (a.shape, cin, win)
     sb, rb = do // p, ho // rh
+    _check_blocks(2 * rh, rb, w2, interpret)
     rwin = _round8(2 * rh + 1)
     xe = _pad_rows(xe, (rb - 1) * 2 * rh + rwin)
     xo = _pad_rows(xo, (rb - 1) * 2 * rh + rwin)
+    _check_vmem(2 * 2 * cin * win * rwin * w2 * xe.dtype.itemsize,
+                tag="dband s2 windows")
 
     kern = _make_s2_kernel((cin, cout, p, rh, rwin, w2, sb, rb),
                            INTERP if precision is None else precision)
@@ -438,8 +490,11 @@ def conv3d_up_dband(x_pad, a, *, p: int = 8, rh: int = 8,
     cout = a.shape[2] // (2 * p)
     assert a.shape == (3, 3, cout * 2 * p, cin * win), (a.shape,)
     sb, rb = d // p, h // rh
+    _check_blocks(rh, rb, w, interpret)
     rwin = _round8(rh + 2)
     x_pad = _pad_rows(x_pad, (rb - 1) * rh + rwin)
+    _check_vmem(2 * cin * win * rwin * w * x_pad.dtype.itemsize,
+                tag="dband window")
 
     kern = _make_up_kernel((cin, cout, p, rh, rwin, w, sb, rb),
                            INTERP if precision is None else precision)
@@ -539,8 +594,11 @@ def _s1_wgrad_dband(x_pad, gy, *, p: int = 8, rh: int = 8,
     cout = gy.shape[0]
     win = p + 2
     sb, rb = d // p, h // rh
+    _check_blocks(rh, rb, w, interpret)
     rwin = _round8(rh + 2)
     x_pad = _pad_rows(x_pad, (rb - 1) * rh + rwin)
+    _check_vmem(2 * cin * win * rwin * w * x_pad.dtype.itemsize,
+                tag="dband window")
     kern = _make_s1_wgrad_kernel((cin, cout, p, rh, rwin, w, sb, rb),
                                  INTERP if precision is None else precision)
     return pl.pallas_call(
@@ -645,9 +703,12 @@ def _s2_wgrad_dband(xe, xo, gy, *, p: int = 8, rh: int = 8,
     cout = gy.shape[0]
     win = 2 * p + 1
     sb, rb = do // p, ho // rh
+    _check_blocks(2 * rh, rb, w2, interpret)
     rwin = _round8(2 * rh + 1)
     xe = _pad_rows(xe, (rb - 1) * 2 * rh + rwin)
     xo = _pad_rows(xo, (rb - 1) * 2 * rh + rwin)
+    _check_vmem(2 * 2 * cin * win * rwin * w2 * xe.dtype.itemsize,
+                tag="dband s2 windows")
     kern = _make_s2_wgrad_kernel((cin, cout, p, rh, rwin, w2, sb, rb),
                                  INTERP if precision is None else precision)
     return pl.pallas_call(
@@ -714,9 +775,11 @@ def _cast_prec(dtype, precision):
 def _s1_fwd(x, kernel, p, rh, interpret, precision, dtype):
     cast, precision = _cast_prec(dtype, precision)
     a = cast(build_a(kernel, P=p))
-    return conv3d_s1_dband(cast(pad_dh(x)), a, p=p, rh=rh,
-                           interpret=_interp_flag(interpret),
-                           precision=precision)
+    w = x.shape[3]
+    y = conv3d_s1_dband(cast(_pad_w(pad_dh(x), _round128(w))), a, p=p,
+                        rh=rh, interpret=_interp_flag(interpret),
+                        precision=precision)
+    return y[..., :w]
 
 
 def _s1_fwd_rule(x, kernel, p, rh, interpret, precision, dtype):
@@ -728,10 +791,12 @@ def _s1_bwd_rule(p, rh, interpret, precision, dtype, res, gy):
     x, kernel = res
     itp = _interp_flag(interpret)
     cast, precision = _cast_prec(dtype, precision)
+    w, wt = x.shape[3], _round128(x.shape[3])
     a_t = cast(build_a(_flip_swap(kernel), P=p))
-    gx = conv3d_s1_dband(cast(pad_dh(gy)), a_t, p=p, rh=rh, interpret=itp,
-                         precision=precision)
-    wg = _s1_wgrad_dband(cast(pad_dh(x)), cast(gy), p=p, rh=rh,
+    gx = conv3d_s1_dband(cast(_pad_w(pad_dh(gy), wt)), a_t, p=p, rh=rh,
+                         interpret=itp, precision=precision)[..., :w]
+    wg = _s1_wgrad_dband(cast(_pad_w(pad_dh(x), wt)),
+                         cast(_pad_w(gy, wt)), p=p, rh=rh,
                          interpret=itp, precision=precision)
     gk = _wgrad_extract(wg, x.shape[0], gy.shape[0], P=p)
     return gx, gk
@@ -753,10 +818,11 @@ def conv3d_s2(x, kernel, p: int = 8, rh: int = 8,
 def _s2_fwd(x, kernel, p, rh, interpret, precision, dtype):
     cast, precision = _cast_prec(dtype, precision)
     a = cast(build_a(kernel, P=p, stride=2))
-    xe, xo = split_w(cast(pad_dh(x)))
+    w2 = x.shape[3] // 2
+    xe, xo = split_w(cast(_pad_w(pad_dh(x), 2 * _round128(w2))))
     return conv3d_s2_dband(xe, xo, a, p=p, rh=rh,
                            interpret=_interp_flag(interpret),
-                           precision=precision)
+                           precision=precision)[..., :w2]
 
 
 def _s2_fwd_rule(x, kernel, p, rh, interpret, precision, dtype):
@@ -768,14 +834,17 @@ def _s2_bwd_rule(p, rh, interpret, precision, dtype, res, gy):
     x, kernel = res
     itp = _interp_flag(interpret)
     cast, precision = _cast_prec(dtype, precision)
+    w2 = gy.shape[3]
+    wt2 = _round128(w2)
     # dgrad: the transposed structure == the up kernel with the flipped/
     # swapped kernel (gx[i] = sum_kd K[kd] gy[(i+1-kd)/2])
     a_up = cast(build_a_up(_flip_swap(kernel), P=p))
-    gx = interleave_w(*conv3d_up_dband(cast(pad_dh(gy)), a_up, p=p, rh=rh,
-                                       interpret=itp, precision=precision))
-    xe, xo = split_w(cast(pad_dh(x)))
-    wg = _s2_wgrad_dband(xe, xo, cast(gy), p=p, rh=rh, interpret=itp,
-                         precision=precision)
+    oe, oo = conv3d_up_dband(cast(_pad_w(pad_dh(gy), wt2)), a_up, p=p,
+                             rh=rh, interpret=itp, precision=precision)
+    gx = interleave_w(oe[..., :w2], oo[..., :w2])
+    xe, xo = split_w(cast(_pad_w(pad_dh(x), 2 * wt2)))
+    wg = _s2_wgrad_dband(xe, xo, cast(_pad_w(gy, wt2)), p=p, rh=rh,
+                         interpret=itp, precision=precision)
     gk = _wgrad_extract(wg, x.shape[0], gy.shape[0], P=p, stride=2)
     return gx, gk
 
@@ -796,10 +865,12 @@ def conv3d_up(x, kernel, p: int = 8, rh: int = 8,
 def _up_fwd(x, kernel, p, rh, interpret, precision, dtype):
     cast, precision = _cast_prec(dtype, precision)
     a = cast(build_a_up(kernel, P=p))
-    oe, oo = conv3d_up_dband(cast(pad_dh(x)), a, p=p, rh=rh,
+    w = x.shape[3]
+    oe, oo = conv3d_up_dband(cast(_pad_w(pad_dh(x), _round128(w))), a,
+                             p=p, rh=rh,
                              interpret=_interp_flag(interpret),
                              precision=precision)
-    return interleave_w(oe, oo)
+    return interleave_w(oe[..., :w], oo[..., :w])
 
 
 def _up_fwd_rule(x, kernel, p, rh, interpret, precision, dtype):
@@ -811,15 +882,16 @@ def _up_bwd_rule(p, rh, interpret, precision, dtype, res, gy):
     x, kernel = res
     itp = _interp_flag(interpret)
     cast, precision = _cast_prec(dtype, precision)
+    w, wt = x.shape[3], _round128(x.shape[3])
     # dgrad: gx[i] = sum_kd K'[kd] gy[2i+1-kd] == the stride-2 kernel with
     # the flipped/swapped kernel
     a2 = cast(build_a(_flip_swap(kernel), P=p, stride=2))
-    ge, go = split_w(cast(pad_dh(gy)))
+    ge, go = split_w(cast(_pad_w(pad_dh(gy), 2 * wt)))
     gx = conv3d_s2_dband(ge, go, a2, p=p, rh=rh, interpret=itp,
-                         precision=precision)
+                         precision=precision)[..., :w]
     # wgrad by duality: gw_up[kd, ci, co] = gw_s2(a=gy, b=x)[2-kd, co, ci]
-    wg = _s2_wgrad_dband(ge, go, cast(x), p=p, rh=rh, interpret=itp,
-                         precision=precision)
+    wg = _s2_wgrad_dband(ge, go, cast(_pad_w(x, wt)), p=p, rh=rh,
+                         interpret=itp, precision=precision)
     gk = _flip_swap(_wgrad_extract(wg, gy.shape[0], x.shape[0], P=p,
                                    stride=2))
     return gx, gk

@@ -54,17 +54,16 @@ jax.block_until_ready(x_cm)
 
 
 def timeit(name, fn, *args, iters=5):
+    from mvsnerf_tpu.utils.devtime import device_time
     t0 = time.perf_counter()
     out = fn(*args)
     jax.block_until_ready(out)
     print(f"{name:42s} compile+run {time.perf_counter()-t0:6.1f} s",
           flush=True)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    # force a value fetch — axon block_until_ready can return early
-    _ = float(jnp.sum(jax.tree.leaves(out)[0]))
-    dt = (time.perf_counter() - t0) / iters
+    # device-looped: per-dispatch overhead through the axon tunnel is
+    # 100 ms - 9 s (probe_axon_timing.py), so Python-loop timing here
+    # measured the tunnel, not the chip
+    dt = device_time(fn, *args, iters=iters)
     print(f"{name:42s} {dt*1e3:9.2f} ms", flush=True)
     return out, dt
 
