@@ -9,6 +9,7 @@ where GT depth == 0 and adds depth abs_err / acc@{0.01,0.05,0.1} (cell 16).
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
@@ -29,6 +30,8 @@ from .metrics import psnr as psnr_fn, ssim as ssim_fn, abs_error, \
 
 # re-exported for bench.py / tests (implementation moved to render/tiled.py)
 from ..render.tiled import bake_color_volume  # noqa: F401,E402
+
+log = logging.getLogger("mvsnerf_tpu.eval")
 
 
 def nearest_source_views(tgt_c2w, train_c2ws, n: int = 3):
@@ -97,38 +100,46 @@ class Evaluator:
         return render_image_chunked(chunk_fn, (jnp.asarray(rays),),
                                     rays.shape[0], chunk=chunk)
 
-    def make_tiled_renderer(self, volume, imgs, near_far, pose_source):
+    def make_tiled_renderer(self, volume, imgs, near_far, pose_source,
+                            exact_colors: bool = False):
         """Fast full-image render path: bake per-view colors into the
-        encoding volume and render with the fused tiled Pallas kernel.
-        Returns fn(rays, H, W) -> dict or None (None = tile locality
-        failed; the caller falls back to the exact chunked path).
-        Shared construction: render/tiled.py."""
+        encoding volume and render with the fused tiled Pallas kernel
+        (or, with `exact_colors`, stream exact per-sample colors — the
+        'hybrid' render mode, exact quality). Returns fn(rays, H, W) ->
+        dict or None (None = tile locality failed; the caller falls back
+        to the exact chunked path). Shared construction: render/tiled.py."""
         from ..render.tiled import make_tiled_renderer
         return make_tiled_renderer(self.args, self.mlp, volume, imgs,
-                                   near_far, pose_source)
+                                   near_far, pose_source,
+                                   exact_colors=exact_colors)
 
     def evaluate(self, max_images: int | None = None, lpips_fn=None,
                  save_dir: str | None = None, chunk: int = 5120,
                  per_image_sources: bool = False, train_c2ws=None,
-                 train_indices=None, render_mode: str | None = None):
+                 train_indices=None, render_mode: str | None = None,
+                 val_c2ws=None):
         """Run the full eval loop. Returns per-image + mean metrics.
 
         With `per_image_sources`, the 3 source views are re-selected per
         val image as the nearest training views by camera center and the
         encoding volume rebuilt (the notebook protocol, renderer.ipynb
         cell 11); `train_c2ws`/`train_indices` give the candidate poses and
-        their dataset view ids.
+        their dataset view ids. `val_c2ws` overrides the target poses
+        (defaults to `dataset.poses`, which for LLFF holds ALL views, not
+        the val split — the CLI passes split-correct poses).
         """
         args = self.args
         ds = self.dataset
         if render_mode is None:
             render_mode = getattr(args, "render_mode", "chunked")
         tiled_fn = None
+        fast_mode = render_mode in ("tiled", "hybrid")
         if not per_image_sources:
             volume, imgs, near_far, pose_source = self.build_volume()
-            if render_mode == "tiled":
-                tiled_fn = self.make_tiled_renderer(volume, imgs, near_far,
-                                                    pose_source)
+            if fast_mode:
+                tiled_fn = self.make_tiled_renderer(
+                    volume, imgs, near_far, pose_source,
+                    exact_colors=render_mode == "hybrid")
         results = []
         n = len(ds)
         if max_images:
@@ -136,22 +147,28 @@ class Evaluator:
         for i in range(n):
             sample = ds[i]
             if per_image_sources:
-                tgt_c2w = np.asarray(ds.poses[i])
+                tgt_c2w = np.asarray(val_c2ws[i] if val_c2ws is not None
+                                     else ds.poses[i])
                 sel = nearest_source_views(tgt_c2w, np.asarray(train_c2ws),
                                            3)
                 pair_idx = np.asarray(train_indices)[sel]
                 volume, imgs, near_far, pose_source = \
                     self.build_volume(pair_idx=pair_idx)
-                if render_mode == "tiled":
+                if fast_mode:
                     tiled_fn = self.make_tiled_renderer(
-                        volume, imgs, near_far, pose_source)
+                        volume, imgs, near_far, pose_source,
+                        exact_colors=render_mode == "hybrid")
             rays = sample["rays"]
             gt = np.asarray(sample["rgbs"])
             H, W = gt.shape[:2]
             out = tiled_fn(rays, H, W) if tiled_fn is not None else None
+            path = render_mode
             if out is None:
+                path = "chunked"
                 out = self.render_rays_buffer(rays, volume, imgs, near_far,
                                               pose_source, chunk=chunk)
+            if fast_mode:
+                log.info("image %d rendered via the %s path", i, path)
             pred = np.clip(np.asarray(out["rgb"]).reshape(H, W, 3), 0, 1)
             depth = np.asarray(out["depth"]).reshape(H, W)
 

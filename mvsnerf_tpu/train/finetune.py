@@ -249,8 +249,12 @@ class FinetuneSystem:
                     "train/loss": mse,
                     "train/PSNR": -10 * np.log10(max(mse, 1e-10)),
                 })
+            # offset validation from the 200-step density refresh (the
+            # shared cadence at val_every=500 made every other validation
+            # step pay refresh + render, aliasing step-time/PSNR curves)
+            val_phase = 100 if args.use_density_volume else 0
             if val_every and logger is not None and step_i > start_step \
-                    and step_i % val_every == 0:
+                    and (step_i - val_phase) % val_every == 0:
                 self.validate(step_i, logger)
             if ckpt_dir and (step_i + 1) % 5000 == 0:
                 self.save(ckpt_dir, step_i + 1)

@@ -297,8 +297,10 @@ class FusionFinetuneSystem:
                 logger.log_scalars(step_i, {
                     "train/loss": mse,
                     "train/PSNR": -10 * np.log10(max(mse, 1e-10))})
+            # offset from the 500-step density refresh (cadence aliasing)
+            val_phase = 100 if args.N_importance else 0
             if val_every and logger is not None and step_i > start_step \
-                    and step_i % val_every == 0:
+                    and (step_i - val_phase) % val_every == 0:
                 self.validate(step_i, logger)
             if ckpt_dir and (step_i + 1) % ckpt_every == 0:
                 self.save(ckpt_dir, step_i + 1)

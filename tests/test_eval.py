@@ -202,3 +202,39 @@ def test_evaluator_tiled_render_path():
     np.testing.assert_allclose(rgb_t, np.asarray(ref["rgb"]), atol=6e-2)
     assert np.max(np.abs(np.asarray(out["depth"]) -
                          np.asarray(ref["depth"]))) < 0.2
+
+
+@pytest.mark.slow
+@pytest.mark.e2e
+def test_evaluate_cli_per_image_sources(tmp_path, monkeypatch):
+    """The eval CLI wires the notebook protocol end-to-end: per-image
+    nearest-3 source re-selection (renderer.ipynb cell 11) on the
+    synthesized DTU scene, metrics.json written."""
+    import json
+    import os
+    import sys
+
+    ckpt = "/root/reference/ckpts/mvsnerf-v0.tar"
+    if not os.path.exists(ckpt):
+        pytest.skip("reference checkpoint unavailable")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in (repo, os.path.join(repo, "scripts")):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from make_synthetic_scene import make_scene
+    make_scene(str(tmp_path / "synth"))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate.py", "--dataset_name", "dtu_ft",
+        "--datadir", str(tmp_path / "synth" / "scan1"),
+        "--ckpt", ckpt, "--expname", "cli_pi",
+        "--imgScale_train", "0.1", "--imgScale_test", "0.1",
+        "--pad", "4", "--N_samples", "16", "--chunk", "256"])
+    import importlib
+    eval_cli = importlib.import_module("evaluate")
+    eval_cli.main()
+    with open(tmp_path / "results" / "cli_pi" / "metrics.json") as f:
+        out = json.load(f)
+    assert np.isfinite(out["mean"]["psnr"])
+    # 4 val images (dtu test split), each evaluated from its own sources
+    assert len(out["per_image"]) == 4

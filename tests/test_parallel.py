@@ -12,7 +12,7 @@ from mvsnerf_tpu.models import init_mlp
 from mvsnerf_tpu.parallel import make_mesh, shard_rays_render, \
     data_parallel_step, replicate
 from mvsnerf_tpu.render import render_rays
-pytestmark = pytest.mark.slow  # compile-heavy tier (see pytest.ini)
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]  # train-loop tier (see pytest.ini)
 
 RNG = np.random.default_rng(11)
 

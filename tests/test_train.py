@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from mvsnerf_tpu.config import config_parser
-pytestmark = pytest.mark.slow  # compile-heavy tier (see pytest.ini)
+pytestmark = [pytest.mark.slow, pytest.mark.e2e]  # train-loop tier (see pytest.ini)
 
 RNG = np.random.default_rng(9)
 
