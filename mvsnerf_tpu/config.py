@@ -64,13 +64,23 @@ def config_parser(cmd=None):
                              "(models/featurenet_packed.py); 'auto' = "
                              "packed when H, W divide by 4")
     parser.add_argument("--render_mode", type=str, default="chunked",
-                        choices=["chunked", "tiled"],
+                        choices=["chunked", "tiled", "hybrid"],
                         help="full-image render path: 'chunked' = exact "
                              "XLA lax.map chunks (reference parity); "
                              "'tiled' = fused Pallas tile kernel over a "
                              "color-baked volume (TPU fast path, "
-                             "ops/pallas_render_tiled.py; falls back to "
-                             "chunked when a view breaks tile locality)")
+                             "~1 dB below exact); 'hybrid' = fused tile "
+                             "kernel + EXACT per-sample colors streamed "
+                             "in (exact quality at kernel speed; "
+                             "ops/pallas_render_tiled.py). tiled/hybrid "
+                             "fall back to chunked when a view breaks "
+                             "tile locality")
+    parser.add_argument("--fixed_sources", action="store_true",
+                        help="evaluate.py: keep the default 3 source views "
+                             "for every val image instead of re-selecting "
+                             "the 3 nearest training views per image "
+                             "(renderer.ipynb cell 11 re-selects; this is "
+                             "the escape hatch)")
     parser.add_argument("--lpips_weights", type=str,
                         default="lpips_vgg.npz",
                         help="path to converted lpips-VGG weights .npz "

@@ -131,29 +131,34 @@ def _pair_weights(frac, lo_ok, hi_ok, idx, rel0):
 
 
 def _make_kernel(dims, shp, mlp_precision, interp_dtype, unroll,
-                 early_stop):
+                 early_stop, stream_colors: bool = False):
     D, HP, WP = dims
     (T, R, S, YB, XB, KB) = shp
     n_sblk = S // COLS_PER_BLOCK
     XC = XB * CP
     UNROLL = unroll
     EARLY_STOP = early_stop
+    assert not stream_colors or UNROLL % 4 == 0, UNROLL
 
     def kernel(oy_ref, oxc_ref, coords_ref, dirs_ref, *rest):
+        if stream_colors:
+            colors_ref, rest = rest[0], rest[1:]
+        else:
+            colors_ref = None
         w_refs = rest[:len(_WEIGHT_ORDER)]
         vol_ref, out_ref = rest[len(_WEIGHT_ORDER)], rest[-3]
         box, sem = rest[-2], rest[-1]
 
         if mlp_precision == "high":
             # manual 3-pass bf16 emulation; Mosaic has no HIGH lowering
-            _body(oy_ref, oxc_ref, coords_ref, dirs_ref,
+            _body(oy_ref, oxc_ref, coords_ref, dirs_ref, colors_ref,
                   w_refs, vol_ref, out_ref, box, sem, _split_dot)
         else:
             with jax.default_matmul_precision(mlp_precision):
-                _body(oy_ref, oxc_ref, coords_ref, dirs_ref,
+                _body(oy_ref, oxc_ref, coords_ref, dirs_ref, colors_ref,
                       w_refs, vol_ref, out_ref, box, sem, _plain_dot)
 
-    def _body(oy_ref, oxc_ref, coords_ref, dirs_ref,
+    def _body(oy_ref, oxc_ref, coords_ref, dirs_ref, colors_ref,
               w_refs, vol_ref, out_ref, box, sem, dot):
         t = pl.program_id(0)
         oy = pl.multiple_of(oy_ref[t], 8)
@@ -173,9 +178,13 @@ def _make_kernel(dims, shp, mlp_precision, interp_dtype, unroll,
 
         dma.wait()
 
-        def col_compute(col):
+        def col_compute(col, ccol=None):
             """Interp + MLP for one column — independent of the
-            compositing carry, so UNROLL columns can overlap MXU/VPU."""
+            compositing carry, so UNROLL columns can overlap MXU/VPU.
+            `ccol` (R, CP) streams exact per-sample colors (lanes 8:20,
+            the use_color_volume layout) to be ADDED to the interp
+            output — the volume then carries only the 8 encoding
+            channels and the render is exact-color."""
             x = col[:, 0:1] * (WP - 1.0)
             y = col[:, 1:2] * (HP - 1.0)
             z = col[:, 2:3] * (D - 1.0)
@@ -228,6 +237,8 @@ def _make_kernel(dims, shp, mlp_precision, interp_dtype, unroll,
                 prod = prod + pltpu.roll(prod, width - shift, 1)
                 shift //= 2
             feats = prod[:, :CP]                               # (R, CP)
+            if ccol is not None:
+                feats = feats + ccol.astype(jnp.float32)
 
             rgb, sigma = _mlp_cols(col[:, 0:3], feats, dv, w, dot)
             alpha = 1.0 - jnp.exp(-sigma)                      # (R, 1)
@@ -244,8 +255,25 @@ def _make_kernel(dims, shp, mlp_precision, interp_dtype, unroll,
 
             def inner(j, c):
                 blk, t_c, rgb_a, dep_a, acc_a = c
-                outs = [col_compute(blk[:, 4 * u:4 * (u + 1)])
-                        for u in range(UNROLL)]
+                # streamed colors are read per 4-column 128-lane group at
+                # a DYNAMIC leading-axis index (Mosaic-supported, unlike
+                # lane rotation of bf16 vectors); UNROLL % 4 == 0 keeps
+                # the within-group lane slice static
+                cgrp = {}
+                if colors_ref is not None:
+                    for g in range(UNROLL // 4):
+                        cgrp[g] = colors_ref[
+                            0, sb * (COLS_PER_BLOCK // 4)
+                            + j * (UNROLL // 4) + g]           # (R, 4*CP)
+                outs = []
+                for u in range(UNROLL):
+                    col = blk[:, 4 * u:4 * (u + 1)]
+                    if colors_ref is not None:
+                        r = u % 4
+                        outs.append(col_compute(
+                            col, cgrp[u // 4][:, CP * r:CP * (r + 1)]))
+                    else:
+                        outs.append(col_compute(col))
                 for rgb, alpha, zval in outs:   # ordered compositing
                     wgt = alpha * t_c
                     t_c = t_c * (1.0 - alpha + 1e-10)
@@ -287,7 +315,7 @@ def tiled_render_v0(weights_list, vol3, coords, dirs, oy, oxc, *,
                     kb: int = 4, mlp_precision: str = "high",
                     interp_dtype: str = "bfloat16", unroll: int = 1,
                     early_stop: float = 1e-4,
-                    interpret: bool = False):
+                    interpret: bool = False, colors=None):
     """Run the fused tiled render kernel.
 
     Args:
@@ -303,6 +331,15 @@ def tiled_render_v0(weights_list, vol3, coords, dirs, oy, oxc, *,
             plan_tiles's derivation, whose `ok` guarantees coverage).
         dims: static (D, HP, WP).
         tile_shape: static (T, R, S).
+        colors: optional (T, S//4, R, 4*CP) pack_color_tiles output —
+            EXACT per-sample colors streamed into MLP feature lanes 8:20;
+            vol3 must then carry only the 8 encoding channels (the
+            streamed lanes add onto the interp result). This is the
+            exact-quality hybrid path: windowed-MXU volume interp + MLP +
+            compositing fused, colors computed exactly outside. Forces
+            unroll up to a multiple of 4 (4 columns share each 128-lane
+            group; the group index is dynamic, the lane slice static —
+            Mosaic cannot lane-rotate bf16 vectors, so no roll carry).
 
     Returns:
         (T, R, 8) float32: rgb[3], depth, acc, zero-pad[3].
@@ -312,9 +349,12 @@ def tiled_render_v0(weights_list, vol3, coords, dirs, oy, oxc, *,
     assert S % COLS_PER_BLOCK == 0, (S, COLS_PER_BLOCK)
     assert yb * kb == 128, (yb, kb)  # (z, y) one-hot contraction = one MXU pass
     assert xb & (xb - 1) == 0 and xb >= 4, xb  # roll-tree: pow2, XC >= 128
+    if colors is not None and unroll % 4:
+        unroll = 4                      # streamed-color group granularity
     assert COLS_PER_BLOCK % unroll == 0, unroll
     kernel = _make_kernel(dims, (T, R, S, yb, xb, kb), mlp_precision,
-                          jnp.dtype(interp_dtype), unroll, early_stop)
+                          jnp.dtype(interp_dtype), unroll, early_stop,
+                          stream_colors=colors is not None)
 
     vmem = lambda shape: pl.BlockSpec(
         shape, lambda t, *_: (t,) + (0,) * (len(shape) - 1),
@@ -322,11 +362,18 @@ def tiled_render_v0(weights_list, vol3, coords, dirs, oy, oxc, *,
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)
                for _ in _WEIGHT_ORDER]
 
+    color_in = []
+    color_specs = []
+    if colors is not None:
+        assert colors.shape == (T, S // 4, R, 4 * CP), colors.shape
+        color_in = [colors]
+        color_specs = [vmem((1, S // 4, R, 4 * CP))]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[vmem((1, S // COLS_PER_BLOCK, R, 128)),
-                  vmem((1, R, 3))] + w_specs
+                  vmem((1, R, 3))] + color_specs + w_specs
                  + [pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=vmem((1, R, 8)),
         scratch_shapes=[pltpu.VMEM((D, yb, xb * CP), vol3.dtype),
@@ -341,7 +388,7 @@ def tiled_render_v0(weights_list, vol3, coords, dirs, oy, oxc, *,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(oy, oxc, coords, dirs, *weights_list, vol3)
+    )(oy, oxc, coords, dirs, *color_in, *weights_list, vol3)
 
 
 # ------------------------------------------------------------ wrapper -----
@@ -411,6 +458,26 @@ def pack_tiles(xyz_ndc, dirs, z_vals, *, image_hw, tile_hw):
     return xyz_t, coords, tiles(dirs)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("tile_hw", "image_hw", "dtype"))
+def pack_color_tiles(colors, *, image_hw, tile_hw,
+                     dtype=jnp.bfloat16):
+    """Exact per-sample colors (H*W, S, 12) -> the kernel's streamed
+    layout (T, S//4, R, 4*CP): 4 sample columns per 128-lane group, each
+    column CP lanes with the 12 color channels at lanes 8:20
+    (use_color_volume layout) so the kernel can ADD them to the
+    8-channel volume interp output."""
+    H, W = image_hw
+    th, tw = tile_hw
+    S = colors.shape[1]
+    c = jnp.pad(colors, ((0, 0), (0, 0), (8, CP - 20)))       # (HW, S, CP)
+    c = c.reshape(H // th, th, W // tw, tw, S, CP)
+    c = jnp.moveaxis(c, 2, 1).reshape(-1, th * tw, S, CP)     # (T, R, S, CP)
+    T, R = c.shape[:2]
+    c = c.reshape(T, R, S // 4, 4 * CP)
+    return jnp.swapaxes(c, 1, 2).astype(dtype)
+
+
 def untile_image(out, image_hw, tile_hw):
     """(T, R, 8) kernel output -> row-major (H*W, 8)."""
     H, W = image_hw
@@ -420,11 +487,13 @@ def untile_image(out, image_hw, tile_hw):
     return out.reshape(H * W, 8)
 
 
-def prepare_volume(volume20, used_ch: int = 20, dtype=jnp.bfloat16):
+def prepare_volume(volume20, used_ch: int | None = None,
+                   dtype=jnp.bfloat16):
     """(D, HP, WP, used) channel-last volume -> (D, HP, WP*CP) lane-packed
-    kernel layout (pad channels zero; bf16 by default)."""
+    kernel layout (pad channels zero; bf16 by default). used = 20 for the
+    color-baked volume, 8 for the hybrid streamed-colors path."""
     d, hp, wp, c = volume20.shape
-    assert c == used_ch, volume20.shape
+    assert c == (used_ch or c) and c <= CP, volume20.shape
     v = jnp.pad(volume20, ((0, 0),) * 3 + ((0, CP - c),))
     return v.reshape(d, hp, wp * CP).astype(dtype)
 
@@ -437,7 +506,7 @@ def render_image_tiled(mlp_params, vol3, xyz_ndc, dirs, z_vals, *,
                        early_stop: float = 1e-4,
                        white_bkgd: bool = False,
                        fallback_fn=None, weights_list=None,
-                       interpret: bool = False):
+                       interpret: bool = False, sample_colors=None):
     """Full-image fused tiled render with automatic exact-path fallback.
 
     Args:
@@ -471,11 +540,18 @@ def render_image_tiled(mlp_params, vol3, xyz_ndc, dirs, z_vals, *,
 
     if weights_list is None:
         weights_list = pack_v0_weights_padded(mlp_params)
+    colors_t = None
+    if sample_colors is not None:
+        colors_t = pack_color_tiles(
+            sample_colors, image_hw=image_hw, tile_hw=tile_hw,
+            dtype=jnp.float32 if interp_dtype == "float32"
+            else jnp.bfloat16)
     out = tiled_render_v0(weights_list, vol3, coords, dirs_t, oy, oxc,
                           dims=dims, tile_shape=(T, R, S), yb=yb,
                           xb=xb, kb=kb, mlp_precision=mlp_precision,
                           interp_dtype=interp_dtype, unroll=unroll,
-                          early_stop=early_stop, interpret=interpret)
+                          early_stop=early_stop, interpret=interpret,
+                          colors=colors_t)
     flat = untile_image(out, image_hw, tile_hw)
     rgb, depth, acc = flat[:, 0:3], flat[:, 3], flat[:, 4]
     if white_bkgd:

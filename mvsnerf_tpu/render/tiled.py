@@ -9,11 +9,15 @@ fine-tune/video render path. v0-MLP only."""
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 
 from ..ops.geometry import get_ndc_coordinate
 from ..ops.sampling import ray_marcher, ray_marcher_fine
+
+log = logging.getLogger("mvsnerf_tpu.render")
 
 
 def pick_tile(H, W, target=2048):
@@ -62,17 +66,32 @@ def bake_color_volume(volume, imgs, pose_source, near_far, pad):
     return jnp.concatenate([volume, color], -1)
 
 
-def _reject(rays, H, W):
-    return None
+def _reject(reason: str):
+    """None-producing closure for plans the fused kernel can't serve; the
+    reason is logged once at plan time and kept on the closure so callers
+    (eval CLI, tests) can report which path actually rendered."""
+    log.info("tiled render path rejected: %s; falling back to the exact "
+             "chunked path", reason)
+
+    def fn(rays, H, W):
+        return None
+    fn.reject_reason = reason
+    return fn
 
 
 def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
                         density_volume=None, bbox=None,
-                        color_feature=None):
+                        color_feature=None, exact_colors: bool = False):
     """Build the tiled-render closure, or a None-returning one when the
     configuration can't use the fused kernel (non-v0 MLP, sample count
     not a multiple of the kernel's column block, volume too small or
     misaligned, un-bakeable channel count).
+
+    With `exact_colors` (render_mode='hybrid'): the volume carries only
+    the 8 encoding channels; per-sample source colors are computed
+    EXACTLY outside the kernel (build_color_volume, banded-MXU pallas
+    path) and streamed into the kernel's MLP feature lanes — exact
+    reference quality at fused-kernel speed.
 
     With `bbox` ((2, 3) world AABB) the volume coords are bbox-normalized
     instead of reference-view NDC — the fusion system's canonical-grid
@@ -89,8 +108,11 @@ def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
 
     n_total = args.N_samples + (
         args.N_importance if density_volume is not None else 0)
-    if args.net_type != "v0" or n_total % prt.COLS_PER_BLOCK:
-        return _reject
+    if args.net_type != "v0":
+        return _reject(f"MLP net_type {args.net_type!r} (kernel is v0-only)")
+    if n_total % prt.COLS_PER_BLOCK:
+        return _reject(f"N_samples {n_total} not a multiple of the kernel "
+                       f"column block {prt.COLS_PER_BLOCK}")
     from .renderer import gen_dir_feature
 
     d, hp, wp, c = volume.shape
@@ -106,17 +128,29 @@ def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
     while xb > max(wp, 4):
         xb //= 2
     if hp < 8 or wp < 4 or hp % 8 or wp % 4:
-        return _reject
-    if c == 8:
+        return _reject(f"volume grid {hp}x{wp} misaligned (needs "
+                       "hp % 8 == 0, wp % 4 == 0)")
+    if exact_colors:
+        if bbox is not None:
+            return _reject("hybrid exact-colors path has no bbox mode")
+        if imgs is None or imgs.shape[0] != 3:
+            v = None if imgs is None else imgs.shape[0]
+            return _reject(f"hybrid path needs 3 source views (V={v})")
+        if c != 8:
+            volume = volume[..., :8]
+    elif c == 8:
         if color_feature is not None:
             volume = jnp.concatenate([volume, color_feature], -1)
         elif imgs is not None and imgs.shape[0] == 3:
             volume = bake_color_volume(volume, imgs, pose_source,
                                        near_far, args.pad)
         else:
-            return _reject          # un-bakeable (V != 3 source views)
-    if volume.shape[-1] != 20:      # kernel lane packing is 20-channel
-        return _reject
+            v = None if imgs is None else imgs.shape[0]
+            return _reject(f"un-bakeable color volume (V={v} source views, "
+                           "kernel needs 3)")
+    if not exact_colors and volume.shape[-1] != 20:
+        return _reject(f"volume has {volume.shape[-1]} channels (kernel "
+                       "lane packing is 20-channel)")
     w2c_ref = pose_source["w2cs"][0]
     intr_ref = pose_source.get("intrinsics", [None])[0]
     nf = None if bbox is not None else jnp.asarray(near_far, jnp.float32)
@@ -148,19 +182,31 @@ def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
             pts_ndc = ndc(pts)
         cos = jnp.linalg.norm(rays_d, axis=-1)
         angle = gen_dir_feature(w2c_ref, rays_d / cos[..., None])
-        return pts_ndc, angle, z_vals
+        colors = None
+        if exact_colors:
+            from .renderer import build_color_volume
+            colors = build_color_volume(
+                pts, pose_source["w2cs"], pose_source["intrinsics"], imgs,
+                row_block=8)
+        return pts_ndc, angle, z_vals, colors
 
     def render(rays, H, W):
         tile = pick_tile(H, W)
         if tile is None:
+            log.info("tiled render path rejected: image %dx%d tiles too "
+                     "poorly; falling back to the exact chunked path", H, W)
             return None
-        pts_ndc, angle, z_vals = prep(jnp.asarray(rays))
-        return prt.render_image_tiled(
+        pts_ndc, angle, z_vals, colors = prep(jnp.asarray(rays))
+        out = prt.render_image_tiled(
             mlp, vol3, pts_ndc, angle, z_vals, image_hw=(H, W),
             dims=(d, hp, wp), tile_hw=tile, yb=yb, kb=128 // yb,
             xb=xb, white_bkgd=args.white_bkgd, weights_list=weights,
-            fallback_fn=lambda: None,
+            fallback_fn=lambda: None, sample_colors=colors,
             interpret=jax.default_backend() == "cpu")
+        if out is None:
+            log.info("tiled render path rejected: view breaks tile window "
+                     "locality; falling back to the exact chunked path")
+        return out
 
     return render
 

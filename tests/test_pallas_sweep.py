@@ -264,3 +264,44 @@ def test_cost_volume_fused_kernel_backward_grouped(monkeypatch):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         jax.grad(loss, argnums=(0, 1))(feats, imgs)
+
+
+def test_build_color_volume_pallas_matches_gather():
+    """The banded MXU color-reprojection path (mode='pallas', border
+    emulation by coord clamping + strict mask from unclamped coords)
+    equals the corner-packed gather path on ray-sample grids."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mvsnerf_tpu.render.renderer import build_color_volume
+
+    rng = np.random.default_rng(0)
+    V, H, W, N, S = 3, 64, 96, 8, 128
+    imgs = jnp.asarray(rng.uniform(0, 1, (V, H, W, 3)).astype(np.float32))
+    intr = jnp.asarray(np.array([[80.0, 0, W / 2], [0, 80.0, H / 2],
+                                 [0, 0, 1]], np.float32))
+    intrs = jnp.broadcast_to(intr, (V, 3, 3))
+    w2cs = []
+    for i in range(V):
+        a = 0.05 * (i - 1)
+        R = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                      [-np.sin(a), 0, np.cos(a)]], np.float32)
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = R
+        w2c[:3, 3] = [0.2 * (i - 1), 0, 0]
+        w2cs.append(w2c)
+    w2cs = jnp.asarray(np.stack(w2cs))
+    xs = rng.uniform(0, W - 1, N)
+    ys = rng.uniform(0, H - 1, N)
+    z = np.linspace(1.5, 3.0, S)
+    c2w = np.linalg.inv(np.asarray(w2cs[0]))
+    dirs = np.stack([(xs - W / 2) / 80.0, (ys - H / 2) / 80.0,
+                     np.ones(N)], -1) @ c2w[:3, :3].T
+    pts = jnp.asarray((c2w[:3, 3][None, None]
+                       + z[None, :, None] * dirs[:, None, :])
+                      .astype(np.float32))
+
+    ref = build_color_volume(pts, w2cs, intrs, imgs, mode="gather")
+    fast = build_color_volume(pts, w2cs, intrs, imgs, mode="pallas")
+    assert ref.shape == fast.shape == (N, S, 12)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=1e-5)

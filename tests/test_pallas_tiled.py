@@ -184,3 +184,90 @@ def test_tiled_render_early_stop_bound(mlp, scene):
                                atol=1.2e-4)
     np.testing.assert_allclose(np.asarray(b["acc"]), np.asarray(a["acc"]),
                                atol=1.2e-4)
+
+
+def test_hybrid_streamed_colors_matches_exact(mlp, scene):
+    """The hybrid path (8-channel volume + EXACT per-sample colors
+    streamed into MLP feature lanes 8:20) equals the exact XLA path over
+    feats = [interp8 | colors12] — the exact-quality fast render."""
+    from mvsnerf_tpu.ops import pallas_render_tiled as prt
+    from mvsnerf_tpu.render.renderer import run_network
+    from mvsnerf_tpu.ops.interp import index_point_feature
+    from mvsnerf_tpu.ops.compositing import raw2outputs
+
+    vol, xyz, dirs, z_vals = scene
+    vol8 = vol[..., :8]
+    n, s = xyz.shape[:2]
+    colors = jnp.asarray(RNG.uniform(0, 1, (n, s, 12)).astype(np.float32))
+
+    out = prt.render_image_tiled(
+        mlp, prt.prepare_volume(vol8, dtype=jnp.float32), xyz, dirs,
+        z_vals, image_hw=IMAGE_HW, dims=DIMS, tile_hw=TILE_HW,
+        mlp_precision="highest", interp_dtype="float32",
+        early_stop=0.0, interpret=True, sample_colors=colors, **KCFG)
+
+    feats = jnp.concatenate([index_point_feature(vol8, xyz), colors], -1)
+    raw = run_network(mlp, xyz, dirs, feats, net_type="v0")
+    ref = raw2outputs(raw, z_vals)
+
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(ref["rgb"]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out["depth"]),
+                               np.asarray(ref["depth"]), atol=3e-4)
+
+
+def test_hybrid_renderer_end_to_end(mlp):
+    """make_tiled_renderer(exact_colors=True) — the render_mode='hybrid'
+    construction — matches the exact chunked render (render_rays with
+    per-sample reprojected colors) on a synthetic 3-view scene."""
+    from test_train import FakeSceneDataset, H, W, PAD
+    from mvsnerf_tpu.config import config_parser
+    from mvsnerf_tpu.eval.evaluate import Evaluator
+    from mvsnerf_tpu.models import init_mvsnet
+
+    args = config_parser(
+        cmd=f"--pad {PAD} --N_samples 32 --dataset_name llff "
+            "--render_mode hybrid")
+    ds = FakeSceneDataset()
+    ev = Evaluator(args, ds, init_mvsnet(jax.random.PRNGKey(0)), mlp)
+    volume, imgs, near_far, pose_source = ev.build_volume()
+    hybrid = ev.make_tiled_renderer(volume, imgs, near_far, pose_source,
+                                    exact_colors=True)
+    sample = ds[0]
+    out = hybrid(sample["rays"], H, W)
+    assert out is not None, "hybrid plan unexpectedly rejected"
+
+    ref = ev.render_rays_buffer(sample["rays"], volume, imgs, near_far,
+                                pose_source, chunk=256)
+    rgb_h = np.asarray(out["rgb"]).reshape(-1, 3)
+    rgb_r = np.asarray(ref["rgb"]).reshape(-1, 3)
+    d = np.abs(rgb_h - rgb_r).max(axis=1)
+    # Rays whose source-view projection lands EXACTLY on the image
+    # boundary are excluded from the max assert: the reference color
+    # mask is strict (grid > -1 & grid < 1, utils.py:300-332), so a
+    # 1-ulp FMA difference between compilations flips it — inherent to
+    # the reference semantics when the target view coincides with a
+    # source view (here the synthetic target shares the ref-view edge),
+    # measure-zero for real val views. Verified: the unstable rays are
+    # the image's edge columns and nothing else.
+    from mvsnerf_tpu.ops.geometry import get_ndc_coordinate
+    from mvsnerf_tpu.ops.sampling import ray_marcher
+    pts, _, _, _ = ray_marcher(jax.random.PRNGKey(0),
+                               jnp.asarray(sample["rays"]),
+                               args.N_samples, perturb=0.0)
+    hs, ws = imgs.shape[1:3]
+    inv_scale = jnp.asarray([ws - 1.0, hs - 1.0])
+    stable = np.ones(d.shape[0], bool)
+    for v in range(3):
+        ndc = get_ndc_coordinate(pose_source["w2cs"][v],
+                                 pose_source["intrinsics"][v], pts,
+                                 inv_scale, near=1.0, far=2.0)
+        g = np.asarray(ndc[..., :2] * 2.0 - 1.0)
+        stable &= ~np.any(np.abs(np.abs(g) - 1.0) < 1e-4, axis=(1, 2))
+    # the full image border projects exactly to ±1 in the shared ref
+    # view (128 of 1024 rays here); anything beyond that is a bug
+    assert stable.sum() >= 0.85 * d.shape[0]
+    # interior rays: bf16 interp noise only (same tolerance class as the
+    # tiled test, but no color-bake quality loss)
+    assert np.max(d[stable]) < 6e-2
+    assert np.mean(d) < 5e-3
