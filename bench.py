@@ -282,6 +282,47 @@ def bench_finetune_and_render():
         rate = H * W / sec
         _emit("render_tiled_rays_per_sec_per_chip", rate, "rays/s",
               rate / RENDER_BASELINE_RAYS_PER_SEC)
+
+        # (c) HYBRID fused path: 8-channel volume in the kernel + EXACT
+        # per-sample colors (banded-MXU reprojection, accurate to ~4e-3 —
+        # below 8-bit pixel quantization) streamed into the MLP feature
+        # lanes. Exact-quality rendering at fused-kernel speed. Colors
+        # are computed + packed per row-slab (full-image per-sample
+        # colors are 2 GB f32; slabs keep HBM temporaries bounded).
+        from mvsnerf_tpu.render.renderer import build_color_volume
+
+        vol3_8 = prt.prepare_volume(params["volume"])
+        n_slab = 4
+        sh = H // n_slab
+
+        def slab_packed(xs, ys):
+            rays_o, rays_d = rays_from_pixels(xs, ys, intr, c2w_t)
+            n = xs.shape[0]
+            rays_o = jnp.broadcast_to(rays_o, (n, 3))
+            zv = jnp.broadcast_to(z_row, (n, N_SAMPLES))
+            pts = rays_o[:, None] + zv[..., None] * rays_d[:, None]
+            c = build_color_volume(pts, w2cs, intrs, imgs, mode="pallas",
+                                   row_block=8)
+            return prt.pack_color_tiles(c, image_hw=(sh, W),
+                                        tile_hw=tile_hw)
+
+        def hybrid_image(xs, ys, coords, dirs_t, vol3_8):
+            xs4 = xs.reshape(n_slab, sh * W)
+            ys4 = ys.reshape(n_slab, sh * W)
+            ct = jax.lax.map(lambda a: slab_packed(a[0], a[1]),
+                             (xs4, ys4))
+            ct = ct.reshape(-1, *ct.shape[2:])
+            out = prt.tiled_render_v0(
+                wlist, vol3_8, coords, dirs_t, oy, oxc, dims=dims,
+                tile_shape=(T, R, S), yb=32, xb=32, kb=4,
+                mlp_precision="high", colors=ct)
+            return prt.untile_image(out, (H, W), tile_hw)
+
+        sec = device_time(hybrid_image, xs_all, ys_all, coords, dirs_t,
+                          vol3_8, iters=4, base_iters=1)
+        rate = H * W / sec
+        _emit("render_hybrid_rays_per_sec_per_chip", rate, "rays/s",
+              rate / RENDER_BASELINE_RAYS_PER_SEC)
     except Exception as e:  # noqa: BLE001 — bench must emit either way
         print(f"# tiled render path unavailable: {e!r}", flush=True)
 

@@ -506,7 +506,8 @@ def render_image_tiled(mlp_params, vol3, xyz_ndc, dirs, z_vals, *,
                        early_stop: float = 1e-4,
                        white_bkgd: bool = False,
                        fallback_fn=None, weights_list=None,
-                       interpret: bool = False, sample_colors=None):
+                       interpret: bool = False, sample_colors=None,
+                       packed_colors=None):
     """Full-image fused tiled render with automatic exact-path fallback.
 
     Args:
@@ -517,6 +518,11 @@ def render_image_tiled(mlp_params, vol3, xyz_ndc, dirs, z_vals, *,
         image_hw: (H, W). tile_hw: image pixels per tile.
         fallback_fn: () -> dict, invoked when tile locality does not hold
             (far-from-reference views) or the image does not tile.
+        sample_colors: (H*W, S, 12) exact per-sample colors (hybrid
+            path); packed here. `packed_colors` is the same already in
+            pack_color_tiles layout — callers that build colors per
+            row-slab (full-image f32 colors are GBs at DTU scale) pass
+            this instead.
 
     Returns:
         dict rgb (H*W, 3), depth (H*W,), acc (H*W,).
@@ -540,8 +546,8 @@ def render_image_tiled(mlp_params, vol3, xyz_ndc, dirs, z_vals, *,
 
     if weights_list is None:
         weights_list = pack_v0_weights_padded(mlp_params)
-    colors_t = None
-    if sample_colors is not None:
+    colors_t = packed_colors
+    if colors_t is None and sample_colors is not None:
         colors_t = pack_color_tiles(
             sample_colors, image_hw=image_hw, tile_hw=tile_hw,
             dtype=jnp.float32 if interp_dtype == "float32"

@@ -9,6 +9,7 @@ fine-tune/video render path. v0-MLP only."""
 
 from __future__ import annotations
 
+import functools
 import logging
 
 import jax
@@ -182,13 +183,37 @@ def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
             pts_ndc = ndc(pts)
         cos = jnp.linalg.norm(rays_d, axis=-1)
         angle = gen_dir_feature(w2c_ref, rays_d / cos[..., None])
-        colors = None
-        if exact_colors:
-            from .renderer import build_color_volume
-            colors = build_color_volume(
-                pts, pose_source["w2cs"], pose_source["intrinsics"], imgs,
-                row_block=8)
-        return pts_ndc, angle, z_vals, colors
+        return pts_ndc, angle, z_vals, (pts if exact_colors else None)
+
+    @functools.partial(jax.jit, static_argnames=("image_hw", "tile_hw",
+                                                 "n_slab"))
+    def packed_colors(pts, *, image_hw, tile_hw, n_slab):
+        """Exact per-sample colors in the kernel's streamed layout,
+        computed per row-slab (full-image f32 colors are ~2 GB at DTU
+        scale; slabs bound the HBM temporaries) via the banded-MXU warp
+        (ops/pallas_sweep.py — 10x the corner-packed gather on device)."""
+        from .renderer import build_color_volume
+        ih, iw = image_hw
+        p = pts.reshape(n_slab, (ih // n_slab) * iw, *pts.shape[1:])
+
+        def one(p1):
+            c = build_color_volume(p1, pose_source["w2cs"],
+                                   pose_source["intrinsics"], imgs,
+                                   row_block=8)
+            return prt.pack_color_tiles(c, image_hw=(ih // n_slab, iw),
+                                        tile_hw=tile_hw)
+
+        ct = jax.lax.map(one, p)
+        return ct.reshape(-1, *ct.shape[2:])
+
+    def pick_slabs(H, W, S, th):
+        # smallest slab count (dividing the tile rows) bounding the f32
+        # per-slab color tensor to ~256 MB
+        tile_rows = H // th
+        for n in range(1, tile_rows + 1):
+            if tile_rows % n == 0 and (H // n) * W * S * 48 <= 256 * 2**20:
+                return n
+        return tile_rows
 
     def render(rays, H, W):
         tile = pick_tile(H, W)
@@ -196,12 +221,17 @@ def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
             log.info("tiled render path rejected: image %dx%d tiles too "
                      "poorly; falling back to the exact chunked path", H, W)
             return None
-        pts_ndc, angle, z_vals, colors = prep(jnp.asarray(rays))
+        pts_ndc, angle, z_vals, pts = prep(jnp.asarray(rays))
+        colors_t = None
+        if exact_colors:
+            colors_t = packed_colors(
+                pts, image_hw=(H, W), tile_hw=tile,
+                n_slab=pick_slabs(H, W, n_total, tile[0]))
         out = prt.render_image_tiled(
             mlp, vol3, pts_ndc, angle, z_vals, image_hw=(H, W),
             dims=(d, hp, wp), tile_hw=tile, yb=yb, kb=128 // yb,
             xb=xb, white_bkgd=args.white_bkgd, weights_list=weights,
-            fallback_fn=lambda: None, sample_colors=colors,
+            fallback_fn=lambda: None, packed_colors=colors_t,
             interpret=jax.default_backend() == "cpu")
         if out is None:
             log.info("tiled render path rejected: view breaks tile window "
