@@ -188,14 +188,67 @@ def e2e(xs, ys, vol3, mode="gather", rb=8):
     return prt.untile_image(out, (H, W), tile_hw)
 
 
-for mode, rb in (("gather", 8), ("pallas", 8)):
+for mode, rb in (("gather", 8), ("pallas", 8), ("pallas", 32)):
     try:
         def run(xs, ys, vol3, mode=mode, rb=rb):
             return e2e(xs, ys, vol3, mode, rb)
         sec = device_time(run, xs_all, ys_all, vol3_8, iters=3,
                           base_iters=1)
-        print(f"e2e hybrid ({mode:>6})    {sec*1e3:9.2f} ms  "
+        print(f"e2e hybrid ({mode:>6},rb={rb:<2}) {sec*1e3:9.2f} ms  "
               f"({H*W/sec/1e3:.0f}k rays/s = {H*W/sec/34133:.1f}x anchor)",
               flush=True)
     except Exception as e:  # noqa: BLE001
-        print(f"e2e hybrid ({mode})      FAILED: {e!r}", flush=True)
+        print(f"e2e hybrid ({mode},rb={rb})      FAILED: {e!r}",
+              flush=True)
+
+# ---- stage 5: the overhead pieces (ray_data / pack_tiles alone) --------
+sec = device_time(lambda a, b: ray_data(a, b)[1], xs_all, ys_all,
+                  iters=3, base_iters=1)
+print(f"ray_data full img        {sec*1e3:9.2f} ms", flush=True)
+
+
+def pack_only(xs, ys):
+    _, pn, ang, zv = ray_data(xs, ys)
+    return prt.pack_tiles(pn, ang, zv, image_hw=(H, W),
+                          tile_hw=tile_hw)[1]
+
+
+sec = device_time(pack_only, xs_all, ys_all, iters=3, base_iters=1)
+print(f"ray_data + pack_tiles    {sec*1e3:9.2f} ms", flush=True)
+
+
+# ---- stage 6: fully slab-wise pipeline (tiles don't cross slabs when
+# slab rows divide by tile rows: build coords/dirs/colors per slab and
+# concat — no full-image pts/ndc tensors ever materialize) --------------
+def e2e_slabwise(xs, ys, vol3, rb=32):
+    xs4 = xs.reshape(N_SLAB, SH * W)
+    ys4 = ys.reshape(N_SLAB, SH * W)
+
+    def one_slab(a):
+        p, pn, ang, zv = ray_data(a[0], a[1])
+        c = build_color_volume(p, w2cs, intrs, imgs, mode="pallas",
+                               row_block=rb)
+        ct1 = prt.pack_color_tiles(c, image_hw=(SH, W), tile_hw=tile_hw)
+        _, co1, dt1 = prt.pack_tiles(pn, ang, zv, image_hw=(SH, W),
+                                     tile_hw=tile_hw)
+        return ct1, co1, dt1
+
+    ct, co, dt = jax.lax.map(one_slab, (xs4, ys4))
+    ct = ct.reshape(-1, *ct.shape[2:])
+    co = co.reshape(-1, *co.shape[2:])
+    dt = dt.reshape(-1, *dt.shape[2:])
+    out = prt.tiled_render_v0(wlist, vol3, co, dt, oy, oxc,
+                              dims=(D, HP, WP), tile_shape=(T, R, S),
+                              yb=32, xb=32, kb=4, mlp_precision="high",
+                              colors=ct)
+    return prt.untile_image(out, (H, W), tile_hw)
+
+
+try:
+    sec = device_time(e2e_slabwise, xs_all, ys_all, vol3_8, iters=3,
+                      base_iters=1)
+    print(f"e2e hybrid slabwise      {sec*1e3:9.2f} ms  "
+          f"({H*W/sec/1e3:.0f}k rays/s = {H*W/sec/34133:.1f}x anchor)",
+          flush=True)
+except Exception as e:  # noqa: BLE001
+    print(f"e2e hybrid slabwise      FAILED: {e!r}", flush=True)
