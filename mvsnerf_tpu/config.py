@@ -63,6 +63,28 @@ def config_parser(cmd=None):
                              "full-res levels run at 128 lanes "
                              "(models/featurenet_packed.py); 'auto' = "
                              "packed when H, W divide by 4")
+    parser.add_argument("--color_warp_mode", type=str, default="auto",
+                        choices=["auto", "gather", "pallas"],
+                        help="per-sample source-color reprojection "
+                             "(build_color_volume): 'gather' = exact XLA "
+                             "corner-packed gather; 'pallas' = banded-MXU "
+                             "warp (~4e-3 vs gather from bf16 in-kernel "
+                             "interp, 31x faster device-looped); 'auto' = "
+                             "pallas on TPU when the shape conforms. "
+                             "Applies to training losses and the "
+                             "fine-tune color bake; set 'gather' to pin "
+                             "exact numerics")
+    parser.add_argument("--volume_gather_impl", type=str, default="auto",
+                        choices=["auto", "banded", "pallas", "pallas_bf16"],
+                        help="trainable-volume trilinear sampling "
+                             "implementation for training steps: 'banded' "
+                             "= XLA banded factorization "
+                             "(ops/volume_grad.py), 'pallas'/'pallas_bf16' "
+                             "= fused Pallas gather/splat kernel with "
+                             "f32/bf16 MXU operands "
+                             "(ops/pallas_volgather.py); 'auto' = the "
+                             "device-measured winner on TPU (see "
+                             "docs/status.md), banded elsewhere")
     parser.add_argument("--render_mode", type=str, default="chunked",
                         choices=["chunked", "tiled", "hybrid"],
                         help="full-image render path: 'chunked' = exact "

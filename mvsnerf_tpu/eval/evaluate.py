@@ -35,9 +35,13 @@ log = logging.getLogger("mvsnerf_tpu.eval")
 
 
 def nearest_source_views(tgt_c2w, train_c2ws, n: int = 3):
-    """Nearest-3 selection by |Δ camera center| (renderer.ipynb cell 11;
-    utils.py:698-711)."""
-    d = np.linalg.norm(train_c2ws[:, :3, 3] - tgt_c2w[:3, 3], axis=-1)
+    """Nearest-3 selection by the L1 camera-center distance — the
+    notebook protocol this CLI defaults to uses
+    np.sum(np.abs(positions - pose)) (renderer.ipynb cell 11), NOT the
+    L2 of utils.py:698-711 (which serves LLFF source pre-selection);
+    the two can pick different source sets, so L1 keeps default eval
+    metrics comparable to the published notebook numbers."""
+    d = np.sum(np.abs(train_c2ws[:, :3, 3] - tgt_c2w[:3, 3]), axis=-1)
     return np.argsort(d)[:n]
 
 

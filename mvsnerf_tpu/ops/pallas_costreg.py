@@ -140,12 +140,20 @@ def _check_blocks(rh_in: int, rb: int, w: int, interpret: bool):
 
 
 
+# every pallas_call in this file compiles under _VMEM_LIMIT; the window
+# guard rejects earlier, at _VMEM_GUARD, leaving ~10 MiB headroom for the
+# non-window operands the limit also covers.
+_VMEM_LIMIT = 110 * 1024 * 1024
+_VMEM_GUARD = 100 * 1024 * 1024
+
+
 def _check_vmem(window_bytes: int, tag: str):
-    """Guard the double-buffered window scratch against the 110MB
-    vmem_limit_bytes budget — whole-axis row blocks (rh spanning H when
-    H % 8 != 0) scale the window with H, which can silently explode for
-    large unaligned levels."""
-    assert window_bytes <= 100 * 1024 * 1024, \
+    """Guard the double-buffered window scratch against the VMEM budget
+    (_VMEM_GUARD, under the _VMEM_LIMIT passed to every pallas_call) —
+    whole-axis row blocks (rh spanning H when H % 8 != 0) scale the
+    window with H, which can silently explode for large unaligned
+    levels."""
+    assert window_bytes <= _VMEM_GUARD, \
         (f"{tag}: window scratch {window_bytes / 2**20:.0f} MiB exceeds "
          "the VMEM budget; use cost_reg_apply/cost_reg_packed_apply for "
          "this shape or shrink the row block")
@@ -244,7 +252,7 @@ def conv3d_s1_dband(x_pad, a, *, p: int = 8, rh: int = 8,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(a, x_pad)
@@ -373,7 +381,7 @@ def conv3d_s2_dband(xe, xo, a, *, p: int = 8, rh: int = 8,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(a, xe, xo)
@@ -518,7 +526,7 @@ def conv3d_up_dband(x_pad, a, *, p: int = 8, rh: int = 8,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(a, x_pad)
@@ -620,7 +628,7 @@ def _s1_wgrad_dband(x_pad, gy, *, p: int = 8, rh: int = 8,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(gy, x_pad)
@@ -732,7 +740,7 @@ def _s2_wgrad_dband(xe, xo, gy, *, p: int = 8, rh: int = 8,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(gy, xe, xo)
@@ -949,6 +957,16 @@ def cost_reg_dband_apply(params, x_cm, use_running_stats: bool = False,
     """
     cin, d0, h0, w0 = x_cm.shape
     assert d0 % 8 == 0 and h0 % 8 == 0 and w0 % 8 == 0, (d0, h0, w0)
+    if dtype is not None and dtype != jnp.float32:
+        # Validated dead end, kept as a hard error rather than a silent
+        # miscompile: Mosaic relocates bf16 inputs to VMEM where the
+        # window-DMA slice rules differ, and the compile fails at the
+        # production shape (docs/status.md round 3). f32 dband itself
+        # lost the device A/B decisively (36.1 vs packed 10.2 ms
+        # fwd+bwd), so the bf16 variant is not worth a workaround.
+        raise NotImplementedError(
+            "dband bf16 does not compile on device (Mosaic VMEM slice "
+            "rules); use dtype=None/f32, or costreg_impl='packed'")
 
     def blocks(conv, y):
         # block sizes constrain the kernel's grid: output dims for the

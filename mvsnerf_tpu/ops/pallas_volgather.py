@@ -83,16 +83,16 @@ def _a_zy(ys, zs_rel, h, band):
 
 
 def _fwd_kernel(zmin_ref, x_ref, y_ref, z_ref, vol_ref, out_ref,
-                vband_ref, sem, *, h, wl, c, band):
+                vband_ref, sem, *, h, wl, c, band, mxu_dtype):
     s = pl.program_id(0)
     zmin = zmin_ref[s]
     dma = pltpu.make_async_copy(vol_ref.at[pl.ds(zmin, band)],
                                 vband_ref, sem)
     dma.start()
 
-    xs = x_ref[0, :]
-    ys = y_ref[0, :]
-    zs_rel = z_ref[0, :] - zmin.astype(jnp.float32)
+    xs = x_ref[0, 0, :]
+    ys = y_ref[0, 0, :]
+    zs_rel = z_ref[0, 0, :] - zmin.astype(jnp.float32)
     n = xs.shape[0]
 
     a_zy = _a_zy(ys, zs_rel, h, band)                     # (N, band*h)
@@ -101,7 +101,8 @@ def _fwd_kernel(zmin_ref, x_ref, y_ref, z_ref, vol_ref, out_ref,
 
     dma.wait()
     vb = vband_ref[...].reshape(band * h, wl * c)
-    t = jax.lax.dot_general(a_zy, vb, (((1,), (0,)), ((), ())),
+    t = jax.lax.dot_general(a_zy.astype(mxu_dtype), vb.astype(mxu_dtype),
+                            (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     t = t * ax
 
@@ -115,7 +116,7 @@ def _fwd_kernel(zmin_ref, x_ref, y_ref, z_ref, vol_ref, out_ref,
 
 
 def _bwd_kernel(zmin_ref, x_ref, y_ref, z_ref, g_ref, gv_ref, *,
-                h, wl, c, band):
+                h, wl, c, band, mxu_dtype):
     gi = pl.program_id(0)
     s = pl.program_id(1)
 
@@ -123,10 +124,10 @@ def _bwd_kernel(zmin_ref, x_ref, y_ref, z_ref, g_ref, gv_ref, *,
     def _():
         gv_ref[...] = jnp.zeros_like(gv_ref)
 
-    xs = x_ref[0, :]
-    ys = y_ref[0, :]
+    xs = x_ref[0, 0, :]
+    ys = y_ref[0, 0, :]
     zmin = zmin_ref[s]
-    zs_rel = z_ref[0, :] - zmin.astype(jnp.float32)
+    zs_rel = z_ref[0, 0, :] - zmin.astype(jnp.float32)
     n = xs.shape[0]
 
     # cotangent replicated across the group's 128/c w-slots
@@ -142,7 +143,8 @@ def _bwd_kernel(zmin_ref, x_ref, y_ref, z_ref, g_ref, gv_ref, *,
     u = g_rep * _hat(w_l - xs[:, None])                   # (N, 128)
 
     a_zy = _a_zy(ys, zs_rel, h, band)                     # (N, band*h)
-    upd = jax.lax.dot_general(a_zy, u, (((0,), (0,)), ((), ())),
+    upd = jax.lax.dot_general(a_zy.astype(mxu_dtype), u.astype(mxu_dtype),
+                              (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     gv_ref[pl.ds(zmin, band)] += upd.reshape(band, h, 128)
 
@@ -161,27 +163,35 @@ def _auto_interpret(interpret):
 
 
 def _coords(volume, ndc, band):
+    """Per-column voxel coords, shaped (S, 1, N): the singleton middle
+    axis makes each column's (1, 1, N) block legal under Mosaic's
+    block-shape rule (second-minor must be 8-divisible or span the
+    array; 1 spans the singleton)."""
     D, H, W, _ = volume.shape
     x = (ndc[..., 0] * (W - 1)).T                         # (S, N)
     y = (ndc[..., 1] * (H - 1)).T
     z = (ndc[..., 2] * (D - 1)).T
     zmin = _column_zmin(z, D, band)                       # (S,)
-    return x, y, z, zmin
+    return x[:, None], y[:, None], z[:, None], zmin
 
 
-def _fwd_impl(volume, ndc, band_k, interpret):
+def _fwd_impl(volume, ndc, band_k, interpret, compute_dtype):
     D, H, W, C = volume.shape
     N, S, _ = ndc.shape
     assert C & (C - 1) == 0 and C <= 128, C
     assert N % 8 == 0, N
     band = band_k + 1
+    # _column_zmin clamps to [0, D - band]; a shallower volume would make
+    # the forward band DMA read past the z extent.
+    assert D >= band, (D, band)
     WL = _next_pow2(W)
     vol_l = pack_volume_lanes(volume)
     x, y, z, zmin = _coords(volume, ndc, band)
 
-    coord_spec = pl.BlockSpec((1, N), lambda s, zm: (s, 0),
+    coord_spec = pl.BlockSpec((1, 1, N), lambda s, zm: (s, 0, 0),
                               memory_space=pltpu.VMEM)
-    kern = functools.partial(_fwd_kernel, h=H, wl=WL, c=C, band=band)
+    kern = functools.partial(_fwd_kernel, h=H, wl=WL, c=C, band=band,
+                             mxu_dtype=compute_dtype)
     out = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -206,9 +216,10 @@ def _fwd_impl(volume, ndc, band_k, interpret):
     return jnp.swapaxes(out, 0, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def sample_volume_pallas(volume, ndc, band_k: int = 4,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None,
+                         compute_dtype=jnp.float32):
     """Drop-in for sample_volume_train with fused Pallas fwd/bwd.
 
     Args:
@@ -218,18 +229,26 @@ def sample_volume_pallas(volume, ndc, band_k: int = 4,
             padding outside.
         band_k: z-slab band (K): per column all samples' floor(z) must
             span < K slabs (module doc).
+        compute_dtype: MXU operand dtype for the in-kernel matmuls.
+            f32 is exact; bf16 quantizes the trilinear weights (and the
+            volume features) to ~2^-9 relative — the matmuls run ~4x
+            faster on the MXU, which matters because the one-hot
+            factorization is compute-bound (the kernel inflates the
+            8-corner gather into dense (N, band*H) @ (band*H, WL*C)
+            work).
 
     Returns:
         (N, S, C) f32 features.
     """
-    return _fwd_impl(volume, ndc, band_k, interpret)
+    return _fwd_impl(volume, ndc, band_k, interpret, compute_dtype)
 
 
-def _fwd_rule(volume, ndc, band_k, interpret):
-    return _fwd_impl(volume, ndc, band_k, interpret), (volume, ndc)
+def _fwd_rule(volume, ndc, band_k, interpret, compute_dtype):
+    return (_fwd_impl(volume, ndc, band_k, interpret, compute_dtype),
+            (volume, ndc))
 
 
-def _bwd_rule(band_k, interpret, res, g):
+def _bwd_rule(band_k, interpret, compute_dtype, res, g):
     volume, ndc = res
     D, H, W, C = volume.shape
     N, S, _ = ndc.shape
@@ -238,10 +257,16 @@ def _bwd_rule(band_k, interpret, res, g):
     x, y, z, zmin = _coords(volume, ndc, band)
     g_t = jnp.swapaxes(g, 0, 1)                           # (S, N, C)
 
-    n_groups = WL * C // 128
-    coord_spec = pl.BlockSpec((1, N), lambda gi, s, zm: (s, 0),
+    # lane groups of 128; volumes with WL*C < 128 still need one group
+    # (an empty grid would leave the output uninitialized). Lanes beyond
+    # WL*C get w_l >= WL >= W in the kernel, so their hat weight is 0 and
+    # the pad rows accumulate nothing — sliced off below.
+    lc = max(WL * C, 128)
+    n_groups = lc // 128
+    coord_spec = pl.BlockSpec((1, 1, N), lambda gi, s, zm: (s, 0, 0),
                               memory_space=pltpu.VMEM)
-    kern = functools.partial(_bwd_kernel, h=H, wl=WL, c=C, band=band)
+    kern = functools.partial(_bwd_kernel, h=H, wl=WL, c=C, band=band,
+                             mxu_dtype=compute_dtype)
     gv = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -255,14 +280,14 @@ def _bwd_rule(band_k, interpret, res, g):
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[],
         ),
-        out_shape=jax.ShapeDtypeStruct((D, H, WL * C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((D, H, lc), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_auto_interpret(interpret),
     )(zmin, x, y, z, g_t)
-    g_vol = gv.reshape(D, H, WL, C)[:, :, :W]
+    g_vol = gv[:, :, :WL * C].reshape(D, H, WL, C)[:, :, :W]
 
     # cotangent wrt ndc: gathers only — autodiff, as in volume_grad._bwd
     from .interp import grid_sample_3d

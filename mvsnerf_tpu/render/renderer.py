@@ -135,24 +135,59 @@ def gen_angle_feature(c2ws, rays_pts, rays_dir):
                    axis=-1).reshape(n_rays, n_samples, -1)
 
 
+def resolve_volume_gather_impl(impl: str, volume_shape, n_rays: int,
+                               band_k: int) -> str:
+    """Resolve 'auto' for the trainable-volume gather and reject pallas
+    configs the kernel cannot express (falls back to banded).
+
+    The fused Pallas kernel (ops/pallas_volgather.py) requires C a power
+    of two <= 128 (the color-baked 20-channel volume is NOT), N % 8 == 0,
+    and D >= band_k + 1. 'auto' picks the device-measured winner on TPU
+    (docs/status.md round 4): pallas_bf16 — the one-hot factorization is
+    MXU-compute-bound, so bf16 operands beat both f32 variants; weight
+    quantization is ~2^-9, below the bf16 rounding the banded path's
+    matmuls already apply under DEFAULT precision."""
+    d, _, _, c = volume_shape
+    fits = (c & (c - 1) == 0 and c <= 128 and n_rays % 8 == 0
+            and d >= band_k + 1)
+    if impl == "auto":
+        if jax.default_backend() == "tpu" and fits:
+            return "pallas_bf16"
+        return "banded"
+    if impl in ("pallas", "pallas_bf16") and not fits:
+        return "banded"
+    return impl
+
+
 def gen_pts_feats(volume, pts_ndc, pts_world=None, w2cs=None,
                   intrinsics=None, imgs=None, use_color_volume=False,
-                  fast_volume_grad=False, volume_band_k=8):
+                  fast_volume_grad=False, volume_band_k=8,
+                  volume_gather_impl="auto", color_warp_mode="auto"):
     """Per-sample MLP feature: 8ch encoding volume + 12ch color volume
     (renderer.py:124-136). With use_color_volume, everything is pre-baked
     into `volume` (renderer.py:134-135). `fast_volume_grad` routes the
-    volume lookup through the banded-splat custom VJP
-    (ops/volume_grad.py) — use in training steps that differentiate wrt
-    the volume."""
+    volume lookup through a banded custom VJP — use in training steps
+    that differentiate wrt the volume; `volume_gather_impl` selects the
+    XLA banded factorization (ops/volume_grad.py) or the fused Pallas
+    gather/splat kernel (ops/pallas_volgather.py)."""
     if fast_volume_grad:
-        from ..ops.volume_grad import sample_volume_train
-        ray_feats = sample_volume_train(volume, pts_ndc, volume_band_k)
+        impl = resolve_volume_gather_impl(
+            volume_gather_impl, volume.shape, pts_ndc.shape[0],
+            volume_band_k)
+        if impl in ("pallas", "pallas_bf16"):
+            from ..ops.pallas_volgather import sample_volume_pallas
+            dt = jnp.bfloat16 if impl == "pallas_bf16" else jnp.float32
+            ray_feats = sample_volume_pallas(volume, pts_ndc,
+                                             volume_band_k, None, dt)
+        else:
+            from ..ops.volume_grad import sample_volume_train
+            ray_feats = sample_volume_train(volume, pts_ndc, volume_band_k)
     else:
         ray_feats = index_point_feature(volume, pts_ndc)
     if use_color_volume:
         return ray_feats
     colors = build_color_volume(pts_world, w2cs, intrinsics, imgs,
-                                with_mask=True)
+                                with_mask=True, mode=color_warp_mode)
     return jnp.concatenate([ray_feats, colors], axis=-1)
 
 
@@ -179,7 +214,8 @@ def render_rays(mlp_params, volume, pts_world, pts_ndc, z_vals, rays_dir,
                 net_type: str = "v0", multires: int = 10,
                 multires_views: int = 0, use_color_volume: bool = False,
                 white_bkgd: bool = False, fast_volume_grad: bool = False,
-                volume_band_k: int = 8):
+                volume_band_k: int = 8, volume_gather_impl: str = "auto",
+                color_warp_mode: str = "auto"):
     """The render entry (renderer.py:138-165).
 
     Args:
@@ -200,7 +236,9 @@ def render_rays(mlp_params, volume, pts_world, pts_ndc, z_vals, rays_dir,
     feats = gen_pts_feats(volume, pts_ndc, pts_world, w2cs, intrinsics, imgs,
                           use_color_volume=use_color_volume,
                           fast_volume_grad=fast_volume_grad,
-                          volume_band_k=volume_band_k)
+                          volume_band_k=volume_band_k,
+                          volume_gather_impl=volume_gather_impl,
+                          color_warp_mode=color_warp_mode)
     raw = run_network(mlp_params, pts_ndc, angle, feats, net_type=net_type,
                       multires=multires, multires_views=multires_views)
     if raw.shape[-1] > 4:

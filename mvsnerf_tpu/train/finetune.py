@@ -122,7 +122,8 @@ class FinetuneSystem:
             color = build_color_volume(
                 self.vox_pts.reshape(d, -1, 3),
                 self.pose_source["w2cs"], self.pose_source["intrinsics"],
-                self.imgs, with_mask=True)
+                self.imgs, with_mask=True,
+                mode=getattr(args, "color_warp_mode", "auto"))
             self.color_feature = color.reshape(d, hp, wp, -1)
             if args.use_color_volume:
                 volume = jnp.concatenate([volume, self.color_feature], -1)
@@ -178,7 +179,10 @@ class FinetuneSystem:
                 net_type=args.net_type,
                 use_color_volume=args.use_color_volume,
                 white_bkgd=args.white_bkgd,
-                fast_volume_grad=True, volume_band_k=band_k)
+                fast_volume_grad=True, volume_band_k=band_k,
+                volume_gather_impl=getattr(args, "volume_gather_impl",
+                                           "auto"),
+                color_warp_mode=getattr(args, "color_warp_mode", "auto"))
 
         def loss_fn(params, rays, rgbs, key, density_volume):
             out = render_fn(params, rays, key, density_volume)

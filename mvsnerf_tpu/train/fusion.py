@@ -235,7 +235,10 @@ class FusionFinetuneSystem:
                 rays_d, w2c_ref=pose_ref["w2cs"][0],
                 net_type=args.net_type, use_color_volume=True,
                 white_bkgd=args.white_bkgd, fast_volume_grad=True,
-                volume_band_k=band_k)
+                volume_band_k=band_k,
+                volume_gather_impl=getattr(args, "volume_gather_impl",
+                                           "auto"),
+                color_warp_mode=getattr(args, "color_warp_mode", "auto"))
 
         def loss_fn(params, rays, rgbs, key, density_volume):
             out = render_fn(params, rays, key, density_volume)

@@ -143,7 +143,10 @@ class GeneralizableSystem:
                 w2c_ref=w2cs[0], w2cs=w2cs[:3], intrinsics=intrinsics[:3],
                 imgs=imgs[:3], net_type=args.net_type,
                 white_bkgd=args.white_bkgd, fast_volume_grad=True,
-                volume_band_k=band_k)
+                volume_band_k=band_k,
+                volume_gather_impl=getattr(args, "volume_gather_impl",
+                                           "auto"),
+                color_warp_mode=getattr(args, "color_warp_mode", "auto"))
 
             img_loss = jnp.mean((out["rgb"] - target_rgb) ** 2)
             loss = img_loss

@@ -79,11 +79,17 @@ out, t_db = timeit(
 err = float(jnp.max(jnp.abs(out - ref)))
 print(f"dband vs packed fwd max|err|: {err:.2e}", flush=True)
 
-_ = timeit(
-    "dband U-Net fwd (bf16)",
-    jax.jit(lambda p, x: pc.cost_reg_dband_apply(p, x,
-                                                 dtype=jnp.bfloat16)),
-    params, x_cm)
+# dband bf16 is a hard NotImplementedError (validated dead end: Mosaic
+# VMEM slice rules reject the bf16 window DMAs; f32 already lost the A/B)
+try:
+    _ = timeit(
+        "dband U-Net fwd (bf16)",
+        jax.jit(lambda p, x: pc.cost_reg_dband_apply(p, x,
+                                                     dtype=jnp.bfloat16)),
+        params, x_cm)
+except NotImplementedError as e:
+    print(f"dband U-Net fwd (bf16): hard-errored as documented: {e}",
+          flush=True)
 
 # ---- full U-Net fwd+bwd ---------------------------------------------------
 
@@ -103,9 +109,13 @@ g_ref, _ = timeit("packed U-Net fwd+bwd",
                   params, x_cl)
 g_db, _ = timeit("dband U-Net fwd+bwd (f32)",
                  jax.jit(jax.grad(loss_db, argnums=(0, 1))), params, x_cm)
-_ = timeit("dband U-Net fwd+bwd (bf16)",
-           jax.jit(jax.grad(lambda p, x: loss_db(p, x, jnp.bfloat16),
-                            argnums=(0, 1))), params, x_cm)
+try:
+    _ = timeit("dband U-Net fwd+bwd (bf16)",
+               jax.jit(jax.grad(lambda p, x: loss_db(p, x, jnp.bfloat16),
+                                argnums=(0, 1))), params, x_cm)
+except NotImplementedError as e:
+    print(f"dband U-Net fwd+bwd (bf16): hard-errored as documented: {e}",
+          flush=True)
 
 for u, v in zip(jax.tree.leaves(g_ref[0]), jax.tree.leaves(g_db[0])):
     s = max(1e-6, float(jnp.max(jnp.abs(u))))

@@ -72,3 +72,20 @@ def test_multi_lane_group_grad():
         lambda v: jnp.sum(grid_sample_3d(v, ndc * 2 - 1) * cot))(vol)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_bf16_compute_dtype_close():
+    """compute_dtype=bf16 quantizes the MXU operands (~2^-9 relative) but
+    must stay within interpolation-level tolerance of the exact result."""
+    vol = jnp.asarray(RNG.standard_normal((D, H, W, C)).astype(np.float32))
+    ndc = stratified_ndc(8, 32, key=4)
+    cot = jnp.asarray(RNG.standard_normal((8, 32, C)).astype(np.float32))
+
+    out = sample_volume_pallas(vol, ndc, 4, None, jnp.bfloat16)
+    ref = grid_sample_3d(vol, ndc * 2 - 1)
+    assert float(jnp.max(jnp.abs(out - ref))) < 3e-2
+    g_fast = jax.grad(lambda v: jnp.sum(
+        sample_volume_pallas(v, ndc, 4, None, jnp.bfloat16) * cot))(vol)
+    g_ref = jax.grad(
+        lambda v: jnp.sum(grid_sample_3d(v, ndc * 2 - 1) * cot))(vol)
+    assert float(jnp.max(jnp.abs(g_fast - g_ref))) < 3e-2
