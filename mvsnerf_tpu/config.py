@@ -75,16 +75,19 @@ def config_parser(cmd=None):
                              "fine-tune color bake; set 'gather' to pin "
                              "exact numerics")
     parser.add_argument("--volume_gather_impl", type=str, default="auto",
-                        choices=["auto", "banded", "pallas", "pallas_bf16"],
+                        choices=["auto", "banded", "pallas", "pallas_bf16",
+                                 "pallas2"],
                         help="trainable-volume trilinear sampling "
                              "implementation for training steps: 'banded' "
                              "= XLA banded factorization "
                              "(ops/volume_grad.py), 'pallas'/'pallas_bf16' "
                              "= fused Pallas gather/splat kernel with "
                              "f32/bf16 MXU operands "
-                             "(ops/pallas_volgather.py); 'auto' = the "
-                             "device-measured winner on TPU (see "
-                             "docs/status.md), banded elsewhere")
+                             "(ops/pallas_volgather.py); 'pallas2' = "
+                             "y-sorted-block fused kernel with banded "
+                             "fallback (ops/pallas_volgather2.py); "
+                             "'auto' = the device-measured winner on TPU "
+                             "(see docs/status.md), banded elsewhere")
     parser.add_argument("--render_mode", type=str, default="chunked",
                         choices=["chunked", "tiled", "hybrid"],
                         help="full-image render path: 'chunked' = exact "
@@ -169,6 +172,18 @@ def config_parser(cmd=None):
                         help="devices to use (0 = all)")
     parser.add_argument("--max_steps", type=int, default=0,
                         help="cap training steps (0 = schedule default)")
+    parser.add_argument("--ckpt_every", type=int, default=20000,
+                        help="generalizable training: snapshot cadence in "
+                             "steps (atomic .msgpack snapshots; resume is "
+                             "by default)")
+    parser.add_argument("--val_every", type=int, default=0,
+                        help="generalizable training: run the validation "
+                             "pass every N steps in addition to per-epoch "
+                             "(0 = per-epoch only)")
+    parser.add_argument("--scan_list", type=str, default="",
+                        help="dtu: path to a scan-list txt overriding the "
+                             "packaged split lists (hermetic synthetic "
+                             "multi-scan runs)")
 
     if isinstance(cmd, str):
         cmd = shlex.split(cmd)

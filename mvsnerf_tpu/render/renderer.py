@@ -142,20 +142,22 @@ def resolve_volume_gather_impl(impl: str, volume_shape, n_rays: int,
 
     The fused Pallas kernel (ops/pallas_volgather.py) requires C a power
     of two <= 128 (the color-baked 20-channel volume is NOT), N % 8 == 0,
-    and D >= band_k + 1. 'auto' picks the device-measured winner on TPU
-    (docs/status.md round 4): pallas_bf16 — the one-hot factorization is
-    MXU-compute-bound, so bf16 operands beat both f32 variants; weight
-    quantization is ~2^-9, below the bf16 rounding the banded path's
-    matmuls already apply under DEFAULT precision."""
+    and D >= band_k + 1. 'auto' = banded: the device A/B (round 4,
+    scripts/validate_volgather_tpu.py + ab_volgather_step.py,
+    docs/status.md) measured the Pallas kernel at parity-to-slightly-
+    slower than the XLA banded path — both are arithmetically the same
+    bf16-operand matmuls (Mosaic's DEFAULT-precision f32 dot truncates to
+    bf16 exactly like XLA's), and XLA pipelines the column scan as well
+    as Mosaic does."""
     d, _, _, c = volume_shape
     fits = (c & (c - 1) == 0 and c <= 128 and n_rays % 8 == 0
             and d >= band_k + 1)
     if impl == "auto":
-        if jax.default_backend() == "tpu" and fits:
-            return "pallas_bf16"
         return "banded"
     if impl in ("pallas", "pallas_bf16") and not fits:
         return "banded"
+    if impl == "pallas2" and not fits:
+        return "banded"  # pallas2 also lax.cond-falls back per batch
     return impl
 
 
@@ -174,7 +176,11 @@ def gen_pts_feats(volume, pts_ndc, pts_world=None, w2cs=None,
         impl = resolve_volume_gather_impl(
             volume_gather_impl, volume.shape, pts_ndc.shape[0],
             volume_band_k)
-        if impl in ("pallas", "pallas_bf16"):
+        if impl == "pallas2":
+            from ..ops.pallas_volgather2 import sample_volume_sorted
+            ray_feats = sample_volume_sorted(volume, pts_ndc,
+                                             volume_band_k)
+        elif impl in ("pallas", "pallas_bf16"):
             from ..ops.pallas_volgather import sample_volume_pallas
             dt = jnp.bfloat16 if impl == "pallas_bf16" else jnp.float32
             ray_feats = sample_volume_pallas(volume, pts_ndc,

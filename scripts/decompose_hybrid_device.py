@@ -252,3 +252,50 @@ try:
           flush=True)
 except Exception as e:  # noqa: BLE001
     print(f"e2e hybrid slabwise      FAILED: {e!r}", flush=True)
+
+
+# ---- stage 7: slab-loop structure: lax.map (serial) vs unrolled (XLA
+# may overlap independent slab programs), and the slab-count sweep ------
+def e2e_unrolled(xs, ys, vol3, rb=32, n_slab=N_SLAB):
+    sh = H // n_slab
+    cts = []
+    for k in range(n_slab):
+        sl = slice(k * sh * W, (k + 1) * sh * W)
+        p = ray_data(xs[sl], ys[sl])[0]
+        c = build_color_volume(p, w2cs, intrs, imgs, mode="pallas",
+                               row_block=rb)
+        cts.append(prt.pack_color_tiles(c, image_hw=(sh, W),
+                                        tile_hw=tile_hw))
+    ct = jnp.concatenate(cts, axis=0)
+    out = prt.tiled_render_v0(wlist, vol3, coords, dirs_t, oy, oxc,
+                              dims=(D, HP, WP), tile_shape=(T, R, S),
+                              yb=32, xb=32, kb=4, mlp_precision="high",
+                              colors=ct)
+    return prt.untile_image(out, (H, W), tile_hw)
+
+
+for ns in (4, 2):
+    try:
+        def run(xs, ys, vol3, ns=ns):
+            return e2e_unrolled(xs, ys, vol3, rb=32, n_slab=ns)
+        sec = device_time(run, xs_all, ys_all, vol3_8, iters=3,
+                          base_iters=1)
+        print(f"e2e unrolled ns={ns}       {sec*1e3:9.2f} ms  "
+              f"({H*W/sec/1e3:.0f}k rays/s = {H*W/sec/34133:.1f}x anchor)",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"e2e unrolled ns={ns}       FAILED: {e!r}", flush=True)
+
+
+# colors+pack of all slabs WITHOUT the kernel: is the residual in the
+# producer or in the map staging?
+def colors_all(xs, ys):
+    xs4 = xs.reshape(N_SLAB, SH * W)
+    ys4 = ys.reshape(N_SLAB, SH * W)
+    ct = jax.lax.map(
+        lambda a: colors_packed_slab(a[0], a[1], "pallas", 32), (xs4, ys4))
+    return ct.reshape(-1, *ct.shape[2:])
+
+
+sec = device_time(colors_all, xs_all, ys_all, iters=3, base_iters=1)
+print(f"colors+pack all slabs    {sec*1e3:9.2f} ms", flush=True)

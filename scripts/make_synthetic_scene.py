@@ -17,13 +17,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from mvsnerf_tpu.data.common import write_cam_file, write_pfm  # noqa: E402
 
 
-def make_scene(root, n_views=49, scan="scan1", img_hw=(192, 240)):
+def make_scene(root, n_views=49, scan="scan1", img_hw=(192, 240),
+               seed=None):
     """49 views so the packaged DTU pair tables index validly. Source
     images can be any size (loaders resize); GT depths must be 1200x1600
-    for the reference's fixed crop."""
+    for the reference's fixed crop. `seed` defaults to a hash of the scan
+    name so multi-scan trees get distinct textures."""
     from PIL import Image
 
-    rng = np.random.default_rng(0)
+    if seed is None:
+        seed = sum(ord(c) for c in scan)
+    rng = np.random.default_rng(seed)
     os.makedirs(f"{root}/Cameras/train", exist_ok=True)
     os.makedirs(f"{root}/Rectified/{scan}_train", exist_ok=True)
     os.makedirs(f"{root}/Depths/{scan}", exist_ok=True)
@@ -54,5 +58,21 @@ def make_scene(root, n_views=49, scan="scan1", img_hw=(192, 240)):
     print(f"wrote synthetic DTU scene to {root}/{scan}")
 
 
+def make_multiscan(root, scans):
+    """Multi-scan tree sharing one Cameras/ dir (the DTU layout) for
+    hermetic generalizable-training runs; also writes <root>/scans.txt
+    for --scan_list. Scan names should come from the packaged train list
+    (scan3, scan4, ...) so the pair tables index validly."""
+    for i, scan in enumerate(scans):
+        make_scene(root, scan=scan)
+    with open(f"{root}/scans.txt", "w") as f:
+        f.write("\n".join(scans) + "\n")
+    print(f"wrote {len(scans)} synthetic scans + {root}/scans.txt")
+
+
 if __name__ == "__main__":
-    make_scene(sys.argv[1] if len(sys.argv) > 1 else "/tmp/dtu_synth")
+    root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/dtu_synth"
+    if len(sys.argv) > 2:      # e.g. ... /tmp/dtu_ms scan3,scan4,scan5
+        make_multiscan(root, sys.argv[2].split(","))
+    else:
+        make_scene(root)

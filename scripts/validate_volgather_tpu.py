@@ -67,10 +67,19 @@ ndc = jnp.asarray(np.concatenate([xy, z[..., None]], -1).astype(np.float32))
 cot = jnp.asarray(rng.standard_normal((N, S, C)).astype(np.float32))
 jax.block_until_ready((vol, ndc, cot))
 
+order, _ = sort_rays_by_y(ndc)
+fits = bool(jax.jit(volgather2_fits, static_argnums=(1, 2, 3, 4))(
+    jnp.take(ndc, order, axis=0), (D, H, W, C), BK, 48, 128))
+print(f"v2 (z, y)-band contract fits at hb=48/nb=128: {fits}", flush=True)
+
 
 def maxerr(x, y):
     return float(jnp.max(jnp.abs(x - y)))
 
+
+from mvsnerf_tpu.ops.pallas_volgather2 import (sample_volume_sorted,  # noqa: E402
+                                               sort_rays_by_y,
+                                               volgather2_fits)
 
 VARIANTS = {
     "banded_f32": lambda v, n: sample_volume_train(v, n, BK),
@@ -78,6 +87,8 @@ VARIANTS = {
                                                     jnp.float32),
     "pallas_bf16": lambda v, n: sample_volume_pallas(v, n, BK, None,
                                                      jnp.bfloat16),
+    "v2_sorted": lambda v, n: sample_volume_sorted(v, n, BK, hb=48,
+                                                   nb=128),
 }
 
 if not a.quick:

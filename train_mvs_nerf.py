@@ -22,10 +22,14 @@ def main():
     logger = MetricLogger(log_dir)
 
     dataset_cls = dataset_dict[args.dataset_name]
+    extra = {}
+    if args.scan_list and args.dataset_name == "dtu":
+        with open(args.scan_list) as f:
+            extra["scan_list"] = [ln.strip() for ln in f if ln.strip()]
     train_ds = dataset_cls(args.datadir, "train",
-                           downSample=args.imgScale_train)
+                           downSample=args.imgScale_train, **extra)
     val_ds = dataset_cls(args.datadir, "val", downSample=args.imgScale_test,
-                         max_len=10)
+                         max_len=10, **extra)
 
     mesh = None
     if args.num_devices != 1:
@@ -64,7 +68,8 @@ def main():
 
     system.fit(train_ds, num_epochs=args.num_epochs, logger=logger,
                ckpt_dir=ckpt_dir, max_steps=args.max_steps or None,
-               val_fn=validate)
+               ckpt_every=args.ckpt_every, val_fn=validate,
+               val_every=args.val_every)
     validate(system.global_step)
     logger.flush()
 
