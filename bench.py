@@ -347,37 +347,51 @@ def bench_finetune_and_render():
         n_slab = 4
         sh = H // n_slab
 
-        def slab_packed(xs, ys):
-            rays_o, rays_d = rays_from_pixels(xs, ys, intr, c2w_t)
-            n = xs.shape[0]
+        def slab_all(xs1, ys1):
+            """One row-slab: ray data + exact colors (banded-MXU warp,
+            rb=32 — consecutive full-image rays share rows) + both packed
+            layouts. Fully slab-wise: no full-image pts/ndc tensor ever
+            materializes (round-4 decomposition: the slab producer, not
+            the kernel handoff, carried the e2e overhead)."""
+            rays_o, rays_d = rays_from_pixels(xs1, ys1, intr, c2w_t)
+            n = xs1.shape[0]
             rays_o = jnp.broadcast_to(rays_o, (n, 3))
             zv = jnp.broadcast_to(z_row, (n, N_SAMPLES))
             pts = rays_o[:, None] + zv[..., None] * rays_d[:, None]
+            pn = get_ndc_coordinate(w2cs[0], intr, pts, inv_scale,
+                                    near=near_far[0], far=near_far[1],
+                                    pad=PAD)
+            cos = jnp.linalg.norm(rays_d, axis=-1)
+            ang = gen_dir_feature(w2cs[0], rays_d / cos[:, None])
             c = build_color_volume(pts, w2cs, intrs, imgs, mode="pallas",
-                                   row_block=8)
-            return prt.pack_color_tiles(c, image_hw=(sh, W),
-                                        tile_hw=tile_hw)
+                                   row_block=32)
+            ct1 = prt.pack_color_tiles(c, image_hw=(sh, W),
+                                       tile_hw=tile_hw)
+            _, co1, dt1 = prt.pack_tiles(pn, ang, zv, image_hw=(sh, W),
+                                         tile_hw=tile_hw)
+            return ct1, co1, dt1
 
-        def hybrid_image(xs, ys, coords, dirs_t, vol3_8):
+        def hybrid_image(xs, ys, vol3_8):
             xs4 = xs.reshape(n_slab, sh * W)
             ys4 = ys.reshape(n_slab, sh * W)
-            ct = jax.lax.map(lambda a: slab_packed(a[0], a[1]),
-                             (xs4, ys4))
+            ct, co, dt = jax.lax.map(lambda a: slab_all(a[0], a[1]),
+                                     (xs4, ys4))
             ct = ct.reshape(-1, *ct.shape[2:])
+            co = co.reshape(-1, *co.shape[2:])
+            dt = dt.reshape(-1, *dt.shape[2:])
             out = prt.tiled_render_v0(
-                wlist, vol3_8, coords, dirs_t, oy, oxc, dims=dims,
+                wlist, vol3_8, co, dt, oy, oxc, dims=dims,
                 tile_shape=(T, R, S), yb=32, xb=32, kb=4,
                 mlp_precision="high", colors=ct)
             return prt.untile_image(out, (H, W), tile_hw)
 
-        sec = device_time(hybrid_image, xs_all, ys_all, coords, dirs_t,
+        sec = device_time(hybrid_image, xs_all, ys_all,
                           vol3_8, iters=4, base_iters=1)
         rate = H * W / sec
         _emit("render_hybrid_rays_per_sec_per_chip", rate, "rays/s",
               rate / RENDER_BASELINE_RAYS_PER_SEC, anchor="derived",
               quality="exact", sec_per_iter=sec,
-              cost=_cost_analysis(hybrid_image, xs_all, ys_all, coords,
-                                  dirs_t, vol3_8))
+              cost=_cost_analysis(hybrid_image, xs_all, ys_all, vol3_8))
     except Exception as e:  # noqa: BLE001 — bench must emit either way
         print(f"# tiled render path unavailable: {e!r}", flush=True)
 

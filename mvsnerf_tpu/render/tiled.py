@@ -197,9 +197,13 @@ def make_tiled_renderer(args, mlp, volume, imgs, near_far, pose_source,
         p = pts.reshape(n_slab, (ih // n_slab) * iw, *pts.shape[1:])
 
         def one(p1):
+            # rb=32: consecutive full-image rays share source rows, and
+            # the device A/B (round 4) measured rb=32 ~7% faster e2e than
+            # rb=8; the in-kernel fits check falls back per view if a
+            # wide-baseline slab breaks the y-band contract.
             c = build_color_volume(p1, pose_source["w2cs"],
                                    pose_source["intrinsics"], imgs,
-                                   row_block=8)
+                                   row_block=32)
             return prt.pack_color_tiles(c, image_hw=(ih // n_slab, iw),
                                         tile_hw=tile_hw)
 
