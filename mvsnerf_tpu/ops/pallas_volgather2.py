@@ -96,7 +96,9 @@ def _fwd_kernel(zmin_ref, ymin_ref, x_ref, y_ref, z_ref, vol_ref, out_ref,
         xs = x_ref[0, 0, b * nb:(b + 1) * nb]
         ys = y_ref[0, 0, b * nb:(b + 1) * nb]
         zs = z_ref[0, 0, b * nb:(b + 1) * nb]
-        ymin = ymin_ref[s * n_blocks + b]
+        # the scalar carries ymin/8; multiplying by 8 IN-KERNEL lets
+        # Mosaic statically prove the sublane slice is 8-aligned
+        ymin = ymin_ref[s * n_blocks + b] * 8
         a = _block_a(ys - ymin.astype(jnp.float32), zs - zmin_f, hb, band)
         lane = jax.lax.broadcasted_iota(jnp.int32, (nb, wl * c), 1)
         ax = _hat((lane // c).astype(jnp.float32) - xs[:, None])
@@ -119,7 +121,10 @@ def _fwd_kernel(zmin_ref, ymin_ref, x_ref, y_ref, z_ref, vol_ref, out_ref,
 
 
 def _bwd_kernel(zmin_ref, ymin_ref, x_ref, y_ref, z_ref, g_ref, gv_ref, *,
-                h, wl, c, band, hb, nb, n_blocks, mxu_dtype):
+                h, wl, c, band, hb, nb, n_blocks, gw, mxu_dtype):
+    """gw = lanes of the gradient volume per grid group (multiple of 128):
+    wider groups mean fewer, larger MXU issues and fewer redundant
+    per-(s, block) weight builds, at (D, H, gw)*4 bytes of VMEM."""
     gi = pl.program_id(0)
     s = pl.program_id(1)
 
@@ -134,25 +139,24 @@ def _bwd_kernel(zmin_ref, ymin_ref, x_ref, y_ref, z_ref, g_ref, gv_ref, *,
         xs = x_ref[0, 0, b * nb:(b + 1) * nb]
         ys = y_ref[0, 0, b * nb:(b + 1) * nb]
         zs = z_ref[0, 0, b * nb:(b + 1) * nb]
-        ymin = ymin_ref[s * n_blocks + b]
-
+        ymin = ymin_ref[s * n_blocks + b] * 8   # /8-scalar: see fwd
         g = g_ref[0, b * nb:(b + 1) * nb, :]              # (NB, c)
-        g_rep = jnp.pad(g, ((0, 0), (0, 128 - c)))
+        g_rep = jnp.pad(g, ((0, 0), (0, gw - c)))
         shift = c
-        while shift < 128:
+        while shift < gw:
             g_rep = g_rep + pltpu.roll(g_rep, shift, 1)
             shift *= 2
-        lane = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 1)
-        w_l = (gi * (128 // c) + lane // c).astype(jnp.float32)
-        u = g_rep * _hat(w_l - xs[:, None])               # (NB, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nb, gw), 1)
+        w_l = (gi * (gw // c) + lane // c).astype(jnp.float32)
+        u = g_rep * _hat(w_l - xs[:, None])               # (NB, gw)
 
         a = _block_a(ys - ymin.astype(jnp.float32), zs - zmin_f, hb, band)
         upd = jax.lax.dot_general(
             a.astype(mxu_dtype), u.astype(mxu_dtype),
             (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (band*hb, 128)
+            preferred_element_type=jnp.float32)           # (band*hb, gw)
         gv_ref[pl.ds(zmin, band), pl.ds(ymin, hb)] += \
-            upd.reshape(band, hb, 128)
+            upd.reshape(band, hb, gw)
 
 
 def _column_zmin(z, d, band):
@@ -171,7 +175,10 @@ def _block_ymin(y, h, hb, nb):
     ymin = jnp.clip(jnp.min(y0, axis=-1), 0, h - 1)
     ymin = (ymin // 8) * 8
     ymin = jnp.minimum(ymin, jnp.int32(max(h - hb, 0)))
-    return ymin.reshape(-1)
+    # carried as ymin/8 so the kernel can multiply by 8 and give Mosaic a
+    # statically provable 8-aligned sublane slice start (callers of the
+    # KERNEL use this; volgather2_fits re-derives the aligned value)
+    return (ymin // 8).reshape(-1)
 
 
 def volgather2_fits(ndc, volume_shape, band_k: int, hb: int, nb: int):
@@ -198,7 +205,7 @@ def volgather2_fits(ndc, volume_shape, band_k: int, hb: int, nb: int):
     zmin = _column_zmin(z, d, band)
     z_ok = axis_span_ok(z, d, zmin[:, None], band)
     yb = y.reshape(s, n // nb, nb)
-    ymin = _block_ymin(y, h, hb, nb).reshape(s, n // nb)
+    ymin = _block_ymin(y, h, hb, nb).reshape(s, n // nb) * 8
     y_ok = axis_span_ok(yb, h, ymin[..., None], hb)
     return z_ok & y_ok
 
@@ -259,7 +266,7 @@ def _fwd_impl(volume, ndc, band_k, hb, nb, interpret, compute_dtype):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def sample_volume_pallas2(volume, ndc, band_k: int = 4, hb: int = 48,
-                          nb: int = 128, interpret: bool | None = None,
+                          nb: int = 256, interpret: bool | None = None,
                           compute_dtype=jnp.bfloat16):
     """v2 fused trilinear volume sampling over y-SORTED rays.
 
@@ -293,12 +300,18 @@ def _bwd_rule(band_k, hb, nb, interpret, compute_dtype, res, g):
     n_blocks = N // nb
 
     lc = max(WL * C, 128)
-    n_groups = lc // 128
+    # lane-group width: as wide as the VMEM budget allows (fewer, larger
+    # MXU issues; less redundant weight building), capped at 512 lanes =
+    # a 46 MB (D, H, gw) block at the production volume
+    gw = 128
+    while gw < min(lc, 512) and D * H * gw * 2 * 4 <= 100 * 1024 * 1024:
+        gw *= 2
+    n_groups = lc // gw
     coord_spec = pl.BlockSpec((1, 1, N), lambda gi, s, zm, ym: (s, 0, 0),
                               memory_space=pltpu.VMEM)
     kern = functools.partial(
         _bwd_kernel, h=H, wl=WL, c=C, band=band, hb=hb, nb=nb,
-        n_blocks=n_blocks, mxu_dtype=compute_dtype)
+        n_blocks=n_blocks, gw=gw, mxu_dtype=compute_dtype)
     gv = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -308,7 +321,7 @@ def _bwd_rule(band_k, hb, nb, interpret, compute_dtype, res, g):
                       pl.BlockSpec((1, N, C),
                                    lambda gi, s, zm, ym: (s, 0, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((D, H, 128),
+            out_specs=pl.BlockSpec((D, H, gw),
                                    lambda gi, s, zm, ym: (0, 0, gi),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[],
@@ -347,12 +360,22 @@ def sort_rays_by_y(ndc):
 
 
 def sample_volume_sorted(volume, ndc, band_k: int = 4, hb: int = 48,
-                         nb: int = 128, interpret: bool | None = None,
+                         nb: int = 256, interpret: bool | None = None,
                          compute_dtype=jnp.bfloat16):
+    # hb=48/nb=256: device-swept winner (scripts/diag_volgather2.py,
+    # round 4): fwd+bwd 7.58 ms vs banded 9.67 at the fine-tune shape;
+    # nb must divide the ray count — falls back to banded otherwise.
     """sample_volume_train drop-in: sort rays by y, run the v2 kernel when
     the (z, y) band contracts hold on this batch, else fall back to the
     XLA banded path — all under jit (lax.cond picks per batch)."""
     from .volume_grad import sample_volume_train
+
+    n = ndc.shape[0]
+    while nb > 8 and n % nb:
+        nb //= 2
+    if n % nb or nb % 8 or volume.shape[-1] & (volume.shape[-1] - 1) \
+            or volume.shape[0] < band_k + 1 or volume.shape[1] < hb:
+        return sample_volume_train(volume, ndc, band_k)
 
     order, inv = sort_rays_by_y(ndc)
     ndc_s = jnp.take(ndc, order, axis=0)

@@ -140,20 +140,27 @@ def resolve_volume_gather_impl(impl: str, volume_shape, n_rays: int,
     """Resolve 'auto' for the trainable-volume gather and reject pallas
     configs the kernel cannot express (falls back to banded).
 
-    The fused Pallas kernel (ops/pallas_volgather.py) requires C a power
-    of two <= 128 (the color-baked 20-channel volume is NOT), N % 8 == 0,
-    and D >= band_k + 1. 'auto' = banded: the device A/B (round 4,
-    scripts/validate_volgather_tpu.py + ab_volgather_step.py,
-    docs/status.md) measured the Pallas kernel at parity-to-slightly-
-    slower than the XLA banded path — both are arithmetically the same
-    bf16-operand matmuls (Mosaic's DEFAULT-precision f32 dot truncates to
-    bf16 exactly like XLA's), and XLA pipelines the column scan as well
-    as Mosaic does."""
+    The fused Pallas kernels (ops/pallas_volgather{,2}.py) require C a
+    power of two <= 128 (the color-baked 20-channel volume is NOT),
+    N % 8 == 0, and D >= band_k + 1.
+
+    'auto' resolution (round-4 device A/Bs, docs/status.md):
+      * v1 ('pallas') is a measured NEGATIVE — in-step 30.1 vs 23.8 ms;
+        it pays the same dense one-hot matmul FLOPs as the banded path.
+      * v2 ('pallas2', y-sorted blocks, ops/pallas_volgather2.py) WINS
+        on TPU: isolated fwd+bwd 7.71 vs 9.67 ms, in-step 21.0 vs
+        23.7 ms = 48.7k vs 43.3k rays/s (scripts/diag_volgather2.py,
+        ab_volgather_step.py). 'auto' resolves to it on TPU when the
+        shape fits; it still lax.cond-falls back per batch if the
+        (z, y) band contract fails on the actual coordinates.
+      * off-TPU 'auto' stays banded (the kernel would run in interpret
+        mode — orders of magnitude slower than XLA on CPU)."""
     d, _, _, c = volume_shape
     fits = (c & (c - 1) == 0 and c <= 128 and n_rays % 8 == 0
             and d >= band_k + 1)
     if impl == "auto":
-        return "banded"
+        return ("pallas2" if fits and jax.default_backend() == "tpu"
+                else "banded")
     if impl in ("pallas", "pallas_bf16") and not fits:
         return "banded"
     if impl == "pallas2" and not fits:

@@ -246,7 +246,11 @@ class FinetuneSystem:
                 self.params, self.opt_state,
                 jnp.asarray(batch["rays"]), jnp.asarray(batch["rgbs"]),
                 jax.random.fold_in(key, step_i))
-            losses.append(float(loss))
+            # keep the DEVICE scalar: float(loss) here would synchronize
+            # every step, paying the remote tunnel's per-RPC latency
+            # (100 ms+) 10k times over a full schedule; values are
+            # fetched once in a stacked batch at return
+            losses.append(loss)
             if logger is not None and step_i % log_every == 0:
                 mse = float(loss)
                 logger.log_scalars(step_i, {
@@ -265,7 +269,9 @@ class FinetuneSystem:
         it.close()
         if ckpt_dir:
             self.save(ckpt_dir, num_steps)
-        return losses
+        # one stacked fetch instead of one RPC per step
+        return (np.asarray(jnp.stack(losses)).tolist() if losses
+                else losses)
 
     def validate(self, step_i: int, logger, chunk: int | None = None):
         """Render one held-out view (cycling through the val split) and log

@@ -39,10 +39,17 @@ def _chained_loop(fn, args, iters: int):
             ls = list(leaves0)
             ls[fi] = ls[fi] + s.astype(ls[fi].dtype) * 1e-30
             out = fn(*jax.tree.unflatten(treedef, ls))
-            lead = next(l for l in jax.tree.leaves(out)
-                        if hasattr(l, "dtype")
-                        and jnp.issubdtype(l.dtype, jnp.inexact))
-            return lead.ravel()[0].astype(jnp.float32), None
+            # chain EVERY inexact output leaf, not just the first: a
+            # multi-output fn (e.g. value_and_grad) whose extra outputs
+            # feed nothing gets those outputs DEAD-CODE-ELIMINATED by
+            # XLA — fwd+bwd timings silently measured fwd only (caught
+            # round 4: banded fwd+bwd == fwd exactly).
+            acc = jnp.float32(0)
+            for leaf in jax.tree.leaves(out):
+                if hasattr(leaf, "dtype") and jnp.issubdtype(
+                        leaf.dtype, jnp.inexact):
+                    acc = acc + leaf.ravel()[0].astype(jnp.float32)
+            return acc, None
 
         s, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return s

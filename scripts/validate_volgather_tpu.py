@@ -29,6 +29,9 @@ import jax.numpy as jnp
 
 from mvsnerf_tpu.ops.interp import grid_sample_3d
 from mvsnerf_tpu.ops.pallas_volgather import sample_volume_pallas
+from mvsnerf_tpu.ops.pallas_volgather2 import (sample_volume_sorted,
+                                               sort_rays_by_y,
+                                               volgather2_fits)
 from mvsnerf_tpu.ops.volume_grad import sample_volume_train
 from mvsnerf_tpu.utils.devtime import device_time
 from mvsnerf_tpu.utils.profiling import enable_compilation_cache
@@ -76,10 +79,6 @@ print(f"v2 (z, y)-band contract fits at hb=48/nb=128: {fits}", flush=True)
 def maxerr(x, y):
     return float(jnp.max(jnp.abs(x - y)))
 
-
-from mvsnerf_tpu.ops.pallas_volgather2 import (sample_volume_sorted,  # noqa: E402
-                                               sort_rays_by_y,
-                                               volgather2_fits)
 
 VARIANTS = {
     "banded_f32": lambda v, n: sample_volume_train(v, n, BK),
