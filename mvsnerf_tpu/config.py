@@ -88,6 +88,17 @@ def config_parser(cmd=None):
                              "fallback (ops/pallas_volgather2.py); "
                              "'auto' = the device-measured winner on TPU "
                              "(see docs/status.md), banded elsewhere")
+    parser.add_argument("--mlp_impl", type=str, default="auto",
+                        choices=["auto", "xla", "pallas", "pallas_high"],
+                        help="NeRF-MLP implementation in TRAINING steps: "
+                             "'xla' = autodiff at MVSNERF_TPU_MLP_PRECISION "
+                             "(default highest); 'pallas'/'pallas_high' = "
+                             "fused fwd+bwd kernel (ops/pallas_mlp.py, v0 "
+                             "only) with bf16 1-pass / 3-pass MXU dots — "
+                             "feats-slice input gradients only (exact); "
+                             "'auto' = the device-measured winner on TPU "
+                             "(pallas), xla elsewhere. Eval/render paths "
+                             "are unaffected")
     parser.add_argument("--render_mode", type=str, default="chunked",
                         choices=["chunked", "tiled", "hybrid"],
                         help="full-image render path: 'chunked' = exact "

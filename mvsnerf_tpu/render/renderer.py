@@ -205,8 +205,13 @@ def gen_pts_feats(volume, pts_ndc, pts_world=None, w2cs=None,
 
 
 def run_network(mlp_params, pts_ndc, viewdirs, feats, net_type="v0",
-                multires=10, multires_views=0):
-    """PE + concat + MLP (renderer.py:42-63). viewdirs None => alpha-only."""
+                multires=10, multires_views=0, mlp_impl="xla"):
+    """PE + concat + MLP (renderer.py:42-63). viewdirs None => alpha-only.
+
+    `mlp_impl='pallas'` routes v0 through the fused train kernel
+    (ops/pallas_mlp.py) — TRAINING LOSSES ONLY: its input cotangent is
+    exact for the feats slice (the volume/MVSNet path) and structurally
+    zero for pts_pe/viewdirs (never trainable in either trainer)."""
     pts_pe = positional_encoding(pts_ndc, multires)
     x = jnp.concatenate([pts_pe, feats], axis=-1)
     in_ch_pts = pts_pe.shape[-1]
@@ -218,6 +223,14 @@ def run_network(mlp_params, pts_ndc, viewdirs, feats, net_type="v0",
     if multires_views > 0:
         viewdirs = positional_encoding(viewdirs, multires_views)
     x = jnp.concatenate([x, viewdirs], axis=-1)
+    if mlp_impl in ("pallas", "pallas_high") and net_type == "v0":
+        import math
+
+        from ..ops.pallas_mlp import mlp_v0_fits, mlp_v0_train
+        if mlp_v0_fits(mlp_params, x) and \
+                math.prod(x.shape[:-1]) % 8 == 0:
+            prec = "high" if mlp_impl == "pallas_high" else "default"
+            return mlp_v0_train(mlp_params, x, prec)
     return mlp_apply(mlp_params, x, net_type, in_ch_pts,
                      viewdirs.shape[-1])
 
@@ -228,7 +241,7 @@ def render_rays(mlp_params, volume, pts_world, pts_ndc, z_vals, rays_dir,
                 multires_views: int = 0, use_color_volume: bool = False,
                 white_bkgd: bool = False, fast_volume_grad: bool = False,
                 volume_band_k: int = 8, volume_gather_impl: str = "auto",
-                color_warp_mode: str = "auto"):
+                color_warp_mode: str = "auto", mlp_impl: str = "auto"):
     """The render entry (renderer.py:138-165).
 
     Args:
@@ -252,8 +265,14 @@ def render_rays(mlp_params, volume, pts_world, pts_ndc, z_vals, rays_dir,
                           volume_band_k=volume_band_k,
                           volume_gather_impl=volume_gather_impl,
                           color_warp_mode=color_warp_mode)
+    if mlp_impl == "auto":
+        # 'auto' stays xla until the fused kernel's device A/B lands
+        # (scripts/validate_mlp_tpu.py + ab_mlp_step.py); the kernel is
+        # train-only by contract (see run_network docstring)
+        mlp_impl = "xla"
     raw = run_network(mlp_params, pts_ndc, angle, feats, net_type=net_type,
-                      multires=multires, multires_views=multires_views)
+                      multires=multires, multires_views=multires_views,
+                      mlp_impl=mlp_impl)
     if raw.shape[-1] > 4:
         # v1 appends fused colors; fold them into the feature tensor
         # (renderer.py:157-158).

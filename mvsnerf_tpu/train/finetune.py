@@ -182,7 +182,8 @@ class FinetuneSystem:
                 fast_volume_grad=True, volume_band_k=band_k,
                 volume_gather_impl=getattr(args, "volume_gather_impl",
                                            "auto"),
-                color_warp_mode=getattr(args, "color_warp_mode", "auto"))
+                color_warp_mode=getattr(args, "color_warp_mode", "auto"),
+                mlp_impl=getattr(args, "mlp_impl", "auto"))
 
         def loss_fn(params, rays, rgbs, key, density_volume):
             out = render_fn(params, rays, key, density_volume)

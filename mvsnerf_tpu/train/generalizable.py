@@ -146,7 +146,8 @@ class GeneralizableSystem:
                 volume_band_k=band_k,
                 volume_gather_impl=getattr(args, "volume_gather_impl",
                                            "auto"),
-                color_warp_mode=getattr(args, "color_warp_mode", "auto"))
+                color_warp_mode=getattr(args, "color_warp_mode", "auto"),
+                mlp_impl=getattr(args, "mlp_impl", "auto"))
 
             img_loss = jnp.mean((out["rgb"] - target_rgb) ** 2)
             loss = img_loss
