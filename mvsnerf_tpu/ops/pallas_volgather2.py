@@ -361,28 +361,37 @@ def sort_rays_by_y(ndc):
 
 def sample_volume_sorted(volume, ndc, band_k: int = 4, hb: int = 48,
                          nb: int = 256, interpret: bool | None = None,
-                         compute_dtype=jnp.bfloat16):
+                         compute_dtype=jnp.bfloat16,
+                         kernel_band_k: int | None = None):
     # hb=48/nb=256: device-swept winner (scripts/diag_volgather2.py,
-    # round 4): fwd+bwd 7.58 ms vs banded 9.67 at the fine-tune shape;
+    # round 4): fwd+bwd 7.61 ms vs banded 9.78 at the fine-tune shape;
     # nb must divide the ray count — falls back to banded otherwise.
     """sample_volume_train drop-in: sort rays by y, run the v2 kernel when
     the (z, y) band contracts hold on this batch, else fall back to the
-    XLA banded path — all under jit (lax.cond picks per batch)."""
+    XLA banded path — all under jit (lax.cond picks per batch).
+
+    `kernel_band_k` lets the KERNEL run a tighter z band than the
+    fallback: the kernel's band is validated per batch by
+    `volgather2_fits` on the actual coordinates (exact whenever taken),
+    while the banded fallback keeps the caller's analytically safe
+    `band_k` — so an optimistic kernel band can never corrupt results,
+    it only risks falling back."""
     from .volume_grad import sample_volume_train
 
+    kb = band_k if kernel_band_k is None else min(kernel_band_k, band_k)
     n = ndc.shape[0]
     while nb > 8 and n % nb:
         nb //= 2
     if n % nb or nb % 8 or volume.shape[-1] & (volume.shape[-1] - 1) \
-            or volume.shape[0] < band_k + 1 or volume.shape[1] < hb:
+            or volume.shape[0] < kb + 1 or volume.shape[1] < hb:
         return sample_volume_train(volume, ndc, band_k)
 
     order, inv = sort_rays_by_y(ndc)
     ndc_s = jnp.take(ndc, order, axis=0)
-    fits = volgather2_fits(ndc_s, volume.shape, band_k, hb, nb)
+    fits = volgather2_fits(ndc_s, volume.shape, kb, hb, nb)
 
     def fast(vol, nd):
-        out = sample_volume_pallas2(vol, nd, band_k, hb, nb, interpret,
+        out = sample_volume_pallas2(vol, nd, kb, hb, nb, interpret,
                                     compute_dtype)
         return jnp.take(out, inv, axis=0)
 

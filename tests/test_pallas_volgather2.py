@@ -100,3 +100,41 @@ def test_multi_lane_group_and_oob():
         lambda v: jnp.sum(grid_sample_3d(v, ndc * 2 - 1) * cot))(vol)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_tight_kernel_band_with_safe_fallback():
+    """kernel_band_k tighter than the caller's safe band: exact when the
+    per-batch contract holds, and the fallback keeps the SAFE band when
+    it doesn't (an optimistic kernel band can never corrupt results)."""
+    vol = jnp.asarray(RNG.standard_normal((32, H, W, C)).astype(np.float32))
+    # ray-structured batch: per-ray constant xy, stratified z with D == S
+    # so each column spans ~one sample spacing -> k=2 band fits
+    rng = np.random.default_rng(6)
+    n, s = 16, 32
+    t = np.linspace(0, 1, s)
+    z = np.broadcast_to(t, (n, s)).copy()
+    mids = 0.5 * (z[:, 1:] + z[:, :-1])
+    upper = np.concatenate([mids, z[:, -1:]], -1)
+    lower = np.concatenate([z[:, :1], mids], -1)
+    z = lower + (upper - lower) * rng.uniform(size=z.shape)
+    xy = np.broadcast_to(rng.uniform(0, 1, (n, 1, 2)), (n, s, 2))
+    ndc = jnp.asarray(np.concatenate([xy, z[..., None]], -1)
+                      .astype(np.float32))
+
+    order, _ = sort_rays_by_y(ndc)
+    assert bool(volgather2_fits(jnp.take(ndc, order, axis=0),
+                                vol.shape, 2, 16, 8))
+    out = sample_volume_sorted(vol, ndc, band_k=4, hb=16, nb=8,
+                               compute_dtype=jnp.float32, kernel_band_k=2)
+    ref = grid_sample_3d(vol, ndc * 2 - 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # random-xy batch: k=2 contract fails -> banded fallback at SAFE k=4
+    ndc_bad = stratified_ndc(16, 32, key=7)
+    out_bad = sample_volume_sorted(vol, ndc_bad, band_k=4, hb=8, nb=16,
+                                   compute_dtype=jnp.float32,
+                                   kernel_band_k=2)
+    ref_bad = grid_sample_3d(vol, ndc_bad * 2 - 1)
+    np.testing.assert_allclose(np.asarray(out_bad), np.asarray(ref_bad),
+                               atol=1e-4, rtol=1e-4)
