@@ -119,7 +119,7 @@ def _fwd_kernel(x_ref, w_ref, b_ref, out_ref, *, r, precision):
     dot = _DOTS[precision]
     x = x_ref[:]
     w = [w_ref[k] for k in range(_NW)]
-    b = [b_ref[k] for k in range(_NB)]
+    b = [b_ref[k:k + 1, :] for k in range(_NB)]
     (_, _, _, _, _, pre_a, _, _, _, pre_r) = _forward(x, w, b, dot)
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, _W), 1)
     out_ref[:] = _out_block(pre_a, pre_r, lane)
@@ -138,7 +138,7 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, dx_ref, dw_ref, db_ref, *,
     x = x_ref[:]
     g = g_ref[:]
     w = [w_ref[k] for k in range(_NW)]
-    b = [b_ref[k] for k in range(_NB)]
+    b = [b_ref[k:k + 1, :] for k in range(_NB)]
     (bias, pres, hs, pre5, h5, pre_a, feat, pre_v, hv,
      pre_r) = _forward(x, w, b, dot)
 
@@ -151,18 +151,18 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, dx_ref, dw_ref, db_ref, *,
     d_pre_a = jnp.where(lane == 3, g, 0.0) * (pre_a > 0.0)
 
     dw_ref[12] += cT(hv, d_pre_r)
-    db_ref[10] += jnp.sum(d_pre_r, axis=0, keepdims=True)[0]
+    db_ref[10:11] += jnp.sum(d_pre_r, axis=0, keepdims=True)
     dhv = cO(d_pre_r, 12)
     d_pre_v = dhv * (pre_v > 0.0)
     dw_ref[10] += cT(feat, d_pre_v)
     dw_ref[11] += cT(x, d_pre_v)
-    db_ref[9] += jnp.sum(d_pre_v, axis=0, keepdims=True)[0]
+    db_ref[9:10] += jnp.sum(d_pre_v, axis=0, keepdims=True)
     dfeat = cO(d_pre_v, 10)
 
     dw_ref[8] += cT(h5, d_pre_a)
-    db_ref[7] += jnp.sum(d_pre_a, axis=0, keepdims=True)[0]
+    db_ref[7:8] += jnp.sum(d_pre_a, axis=0, keepdims=True)
     dw_ref[9] += cT(h5, dfeat)
-    db_ref[8] += jnp.sum(dfeat, axis=0, keepdims=True)[0]
+    db_ref[8:9] += jnp.sum(dfeat, axis=0, keepdims=True)
     dh = cO(dfeat, 9) + cO(d_pre_a, 8)
 
     dt5 = dh * (pre5 * bias > 0.0)
@@ -170,7 +170,7 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, dx_ref, dw_ref, db_ref, *,
     dpre5 = dt5 * bias
     dw_ref[6] += cT(x, dpre5)
     dw_ref[7] += cT(hs[4], dpre5)
-    db_ref[6] += jnp.sum(dpre5, axis=0, keepdims=True)[0]
+    db_ref[6:7] += jnp.sum(dpre5, axis=0, keepdims=True)
     dh = cO(dpre5, 7)
 
     for i in (4, 3, 2, 1, 0):
@@ -178,12 +178,12 @@ def _bwd_kernel(x_ref, g_ref, w_ref, b_ref, dx_ref, dw_ref, db_ref, *,
         dbias = dbias + dt * pres[i]
         dpre = dt * bias
         dw_ref[1 + i] += cT(hs[i - 1] if i else x, dpre)
-        db_ref[1 + i] += jnp.sum(dpre, axis=0, keepdims=True)[0]
+        db_ref[1 + i:2 + i] += jnp.sum(dpre, axis=0, keepdims=True)
         if i:
             dh = cO(dpre, 1 + i)
 
     dw_ref[0] += cT(x, dbias)
-    db_ref[0] += jnp.sum(dbias, axis=0, keepdims=True)[0]
+    db_ref[0:1] += jnp.sum(dbias, axis=0, keepdims=True)
     dx_ref[:] = cO(dbias, 0)      # feats lanes only (Wb rows 63:83)
 
 
