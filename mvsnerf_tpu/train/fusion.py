@@ -295,7 +295,9 @@ class FusionFinetuneSystem:
                 jnp.asarray(batch["rgbs"]),
                 jax.random.fold_in(key, step_i),
                 self.density_volume if args.N_importance else None)
-            losses.append(float(loss))
+            # device scalar: float(loss) per step would pay the remote
+            # tunnel's per-RPC latency every step (see finetune.fit)
+            losses.append(loss)
             if logger is not None and step_i % 100 == 0:
                 mse = float(loss)
                 logger.log_scalars(step_i, {
@@ -311,7 +313,9 @@ class FusionFinetuneSystem:
         it.close()
         if ckpt_dir:
             self.save(ckpt_dir, num_steps)
-        return losses
+        # one stacked fetch instead of one RPC per step
+        return (np.asarray(jnp.stack(losses)).tolist() if losses
+                else losses)
 
     def validate(self, step_i: int, logger, chunk: int | None = None):
         """Render one held-out view (cycling) and log val/PSNR + a panel."""

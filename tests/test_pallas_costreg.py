@@ -208,19 +208,19 @@ def test_mvsnet_dband_impl_matches_packed():
                                atol=3e-3, rtol=1e-3)
 
 
-def test_costreg_dband_bf16_close_to_f32():
+def test_costreg_dband_bf16_hard_errors():
+    """The bf16 dband variant never compiled on device (Mosaic relocates
+    bf16 inputs to VMEM where window-DMA slice rules differ) and f32
+    dband lost its device A/B decisively, so the flag hard-errors with
+    the recorded explanation (VERDICT r3 weak #6 / task 8) instead of
+    silently running interpret-only."""
     from mvsnerf_tpu.models import init_mvsnet
     p = init_mvsnet(jax.random.PRNGKey(0))["cost_reg_2"]
     x_cm = jnp.asarray(
         RNG.standard_normal((41, 16, 8, 8)).astype(np.float32))
-    a = pc.cost_reg_dband_apply(p, x_cm, interpret=True)
-    b = pc.cost_reg_dband_apply(p, x_cm, interpret=True,
+    with pytest.raises(NotImplementedError, match="dband bf16"):
+        pc.cost_reg_dband_apply(p, x_cm, interpret=True,
                                 dtype=jnp.bfloat16)
-    # post-ABN activations are O(1): absolute agreement at bf16 resolution
-    assert float(jnp.max(jnp.abs(a - b))) < 0.15
-    g = jax.grad(lambda x_: jnp.sum(pc.cost_reg_dband_apply(
-        p, x_, interpret=True, dtype=jnp.bfloat16) ** 2))(x_cm)
-    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_costreg_dband_rows_not_multiple_of_8():
