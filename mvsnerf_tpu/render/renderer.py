@@ -204,6 +204,30 @@ def gen_pts_feats(volume, pts_ndc, pts_world=None, w2cs=None,
     return jnp.concatenate([ray_feats, colors], axis=-1)
 
 
+def resolve_mlp_impl(impl: str, training: bool = False) -> str:
+    """Resolve --mlp_impl 'auto'.
+
+    TRAINING steps on TPU use the fused Pallas v0 train kernel
+    (ops/pallas_mlp.py) at 'default' (1-pass bf16 dots) precision —
+    device A/B at the production fine-tune shape (1024x128 rays,
+    volume gather pinned to its winner): in-step 19.51 ms = 52.5k
+    rays/s vs 21.10 ms = 48.5k for xla; isolated MLP fwd+bwd 2.13 ms
+    (kernel) vs 7.45 ms (xla HIGHEST) / 5.64 ms (xla DEFAULT).
+    'pallas_high' (3-pass bf16 split) costs +1.96 ms isolated and
+    cannot win (scripts/validate_mlp_tpu.py, scripts/ab_mlp_step.py;
+    training-quality parity: scripts/ab_mlp_quality.py).
+
+    Eval/render paths resolve to 'xla' — the exact HIGHEST-precision
+    MLP — both for bit-parity with the reference protocol and because
+    the kernel's input-gradient contract (zeros for pts_pe/viewdirs)
+    is train-only."""
+    if impl != "auto":
+        return impl
+    if training and jax.default_backend() == "tpu":
+        return "pallas"
+    return "xla"
+
+
 def run_network(mlp_params, pts_ndc, viewdirs, feats, net_type="v0",
                 multires=10, multires_views=0, mlp_impl="xla"):
     """PE + concat + MLP (renderer.py:42-63). viewdirs None => alpha-only.
@@ -265,11 +289,9 @@ def render_rays(mlp_params, volume, pts_world, pts_ndc, z_vals, rays_dir,
                           volume_band_k=volume_band_k,
                           volume_gather_impl=volume_gather_impl,
                           color_warp_mode=color_warp_mode)
-    if mlp_impl == "auto":
-        # 'auto' stays xla until the fused kernel's device A/B lands
-        # (scripts/validate_mlp_tpu.py + ab_mlp_step.py); the kernel is
-        # train-only by contract (see run_network docstring)
-        mlp_impl = "xla"
+    # render_rays resolves 'auto' as an EVAL path (training=False); the
+    # trainers resolve training=True themselves and pass the result in.
+    mlp_impl = resolve_mlp_impl(mlp_impl, training=False)
     raw = run_network(mlp_params, pts_ndc, angle, feats, net_type=net_type,
                       multires=multires, multires_views=multires_views,
                       mlp_impl=mlp_impl)

@@ -162,7 +162,7 @@ class FinetuneSystem:
         except Exception:
             pass
 
-        def render_fn(params, rays, key, density_volume):
+        def render_fn(params, rays, key, density_volume, training=True):
             pts, rays_o, rays_d, z_vals = ray_marcher(
                 key, rays, n_samples, perturb=args.perturb,
                 lindisp=args.use_disp)
@@ -183,7 +183,8 @@ class FinetuneSystem:
                 volume_gather_impl=getattr(args, "volume_gather_impl",
                                            "auto"),
                 color_warp_mode=getattr(args, "color_warp_mode", "auto"),
-                mlp_impl=getattr(args, "mlp_impl", "auto"))
+                mlp_impl=resolve_mlp_impl(
+                    getattr(args, "mlp_impl", "auto"), training=training))
 
         def loss_fn(params, rays, rgbs, key, density_volume):
             out = render_fn(params, rays, key, density_volume)
@@ -323,7 +324,9 @@ class FinetuneSystem:
         density_volume = self.density_volume
 
         def chunk_fn(r):
-            out = self._render_fn(params, r, key, density_volume)
+            # validation/eval renders use the exact XLA MLP (training=False)
+            out = self._render_fn(params, r, key, density_volume,
+                                  training=False)
             return {"rgb": out["rgb"], "depth": out["depth"]}
 
         return render_image_chunked(chunk_fn, (jnp.asarray(rays),), n,
