@@ -26,7 +26,8 @@ from ..ops.geometry import get_ndc_coordinate
 from ..ops.precision import matmul_f32
 from ..ops.sampling import ray_marcher, ray_marcher_fine
 from ..render.renderer import (build_color_volume, render_density,
-                               render_image_chunked, render_rays)
+                               render_image_chunked, render_rays,
+                               resolve_mlp_impl)
 from ..utils.schedulers import make_lr_schedule
 from .common import RayBatchIterator, unpreprocess_images
 
