@@ -289,8 +289,13 @@ def render_rays(mlp_params, volume, pts_world, pts_ndc, z_vals, rays_dir,
                           volume_band_k=volume_band_k,
                           volume_gather_impl=volume_gather_impl,
                           color_warp_mode=color_warp_mode)
-    # render_rays resolves 'auto' as an EVAL path (training=False); the
-    # trainers resolve training=True themselves and pass the result in.
+    # render_rays resolves 'auto' as an EVAL path (training=False); a
+    # trainer that wants the fused train kernel resolves training=True
+    # itself and passes the result in. Currently the fine-tune trainer
+    # does (train/finetune.py); generalizable/fusion pass 'auto' through
+    # and therefore train on the XLA MLP (their steps are dominated by
+    # the cost-volume build / fusion volume, and the kernel's quality
+    # parity is A/B'd on the fine-tune schedule — see docs/status.md).
     mlp_impl = resolve_mlp_impl(mlp_impl, training=False)
     raw = run_network(mlp_params, pts_ndc, angle, feats, net_type=net_type,
                       multires=multires, multires_views=multires_views,

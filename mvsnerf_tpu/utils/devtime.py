@@ -25,13 +25,16 @@ import jax.numpy as jnp
 
 
 def _chained_loop(fn, args, iters: int):
-    """jit(args -> scalar) running fn(*args) `iters` times, chained."""
+    """AOT-compiled (args -> scalar) running fn(*args) `iters` times,
+    chained. Compiled via jit(...).lower(...).compile() so callers can
+    read `cost_analysis()` off the SAME executable that is timed (no
+    second lower+compile — that doubled bench compile time, BENCH_r04
+    rc=124)."""
     leaves, treedef = jax.tree.flatten(args)
     fi = next(i for i, l in enumerate(leaves)
               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
                                                         jnp.floating))
 
-    @jax.jit
     def loop(args):
         leaves0 = jax.tree.leaves(args)
 
@@ -54,19 +57,33 @@ def _chained_loop(fn, args, iters: int):
         s, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return s
 
-    return loop
+    return jax.jit(loop).lower(args).compile()
 
 
 def device_time(fn, *args, iters: int = 10, reps: int = 3,
-                base_iters: int = 1):
+                base_iters: int = 1, return_cost: bool = False):
     """Per-iteration device seconds of fn(*args), best of `reps`.
 
     Times a `iters`-long and a `base_iters`-long chained loop and
     differences them, cancelling the constant per-call dispatch/fetch
     cost. Compile happens once per length (persistent cache applies).
+
+    return_cost=True additionally returns the XLA cost_analysis dict of
+    the compiled base loop (XLA counts a while/scan body once, so the
+    program cost ~= one fn iteration) — read off the SAME executable
+    that runs, no recompile.
     """
     long_loop = _chained_loop(fn, args, iters)
     base_loop = _chained_loop(fn, args, base_iters)
+    cost = {}
+    if return_cost:
+        try:
+            ca = base_loop.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            cost = dict(ca) if ca else {}
+        except Exception:  # noqa: BLE001 — cost fields are best-effort
+            cost = {}
 
     def run(loop):
         out = loop(args)
@@ -85,7 +102,10 @@ def device_time(fn, *args, iters: int = 10, reps: int = 3,
     # min per length first: dispatch hiccups only ever ADD time, so the
     # minima are the clean estimates and their difference is the device
     # time of (iters - base_iters) iterations.
-    return max(0.0, (min(t_long) - min(t_base)) / (iters - base_iters))
+    sec = max(0.0, (min(t_long) - min(t_base)) / (iters - base_iters))
+    if return_cost:
+        return sec, cost
+    return sec
 
 
 def scan_train_steps(update, n: int, donate: bool = True):

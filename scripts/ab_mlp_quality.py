@@ -41,8 +41,8 @@ for impl in ("xla", "pallas", "pallas_high"):
         "--mlp_impl", impl,
     ])
     ds = dataset_dict[args.dataset_name]
-    train_ds = ds(args.datadir, "train", downSample=args.imgScale_train)
-    val_ds = ds(args.datadir, "val", downSample=args.imgScale_test)
+    train_ds = ds(args, "train")
+    val_ds = ds(args, "val")
     system = FinetuneSystem(args, train_ds, val_ds)
     losses = np.asarray(system.fit(num_steps=STEPS, logger=None,
                                    ckpt_dir=None, val_every=0))
