@@ -208,14 +208,13 @@ def resolve_mlp_impl(impl: str, training: bool = False) -> str:
     """Resolve --mlp_impl 'auto'.
 
     TRAINING steps on TPU use the fused Pallas v0 train kernel
-    (ops/pallas_mlp.py) at 'default' (1-pass bf16 dots) precision —
-    device A/B at the production fine-tune shape (1024x128 rays,
-    volume gather pinned to its winner): in-step 19.51 ms = 52.5k
-    rays/s vs 21.10 ms = 48.5k for xla; isolated MLP fwd+bwd 2.13 ms
-    (kernel) vs 7.45 ms (xla HIGHEST) / 5.64 ms (xla DEFAULT).
-    'pallas_high' (3-pass bf16 split) costs +1.96 ms isolated and
-    cannot win (scripts/validate_mlp_tpu.py, scripts/ab_mlp_step.py;
-    training-quality parity: scripts/ab_mlp_quality.py).
+    (ops/pallas_mlp.py) at 'default' (1-pass bf16 dots) precision.
+    Evidence (docs/status.md round 5, measured on the PRODUCTION
+    FinetuneSystem step via bench.py): in-step 43.8k rays/s (pallas)
+    vs 40.9k (xla); 2000-step training-quality trajectories are
+    statistically identical across xla/pallas/pallas_high
+    (scripts/ab_mlp_quality.py — final losses 0.01718/0.01718/0.01717,
+    val PSNR 18.72/18.73/18.74).
 
     Eval/render paths resolve to 'xla' — the exact HIGHEST-precision
     MLP — both for bit-parity with the reference protocol and because

@@ -15,10 +15,10 @@ python scripts/make_synthetic_scene.py /tmp/dtu_synth
 start=$(date +%s)
 timeout -s KILL 3000 python train_mvs_nerf_finetuning.py \
     --dataset_name dtu_ft --datadir /tmp/dtu_synth/scan1 \
-    --expname soak10k_r4 --max_steps 10000 --with_rgb_loss \
+    --expname soak10k_r5 --max_steps 10000 --with_rgb_loss \
     --imgScale_train 1.0 --imgScale_test 1.0 --pad 24 \
     --batch_size 1024 --N_samples 128 \
     --ckpt /root/reference/ckpts/mvsnerf-v0.tar \
     2>&1 | tee /tmp/soak10k.log
 echo "wall-clock: $(( $(date +%s) - start )) s"
-tail -8 runs_fine_tuning/soak10k_r4/metrics.csv
+tail -8 runs_fine_tuning/soak10k_r5/metrics.csv
