@@ -38,7 +38,7 @@ from ..models.mvsnet import resolve_warp_mode
 from ..ops.geometry import get_ndc_coordinate
 from ..ops.sampling import ray_marcher, ray_marcher_fine
 from ..render.renderer import (render_density, render_image_chunked,
-                               render_rays)
+                               render_rays, resolve_mlp_impl)
 from ..utils.schedulers import make_lr_schedule
 from .common import RayBatchIterator, unpreprocess_images
 from ..data.dtu_ft import rays_for_pose
@@ -239,7 +239,12 @@ class FusionFinetuneSystem:
                 volume_gather_impl=getattr(args, "volume_gather_impl",
                                            "auto"),
                 color_warp_mode=getattr(args, "color_warp_mode", "auto"),
-                mlp_impl=getattr(args, "mlp_impl", "auto"))
+                # training=True: the fused v0 train kernel where it
+                # applies (run_network falls back to xla for non-v0
+                # nets / unfit shapes); quality parity recorded in
+                # docs/status.md round 5
+                mlp_impl=resolve_mlp_impl(
+                    getattr(args, "mlp_impl", "auto"), training=True))
 
         def loss_fn(params, rays, rgbs, key, density_volume):
             out = render_fn(params, rays, key, density_volume)

@@ -25,7 +25,8 @@ from ..io.torch_ckpt import load_reference_checkpoint
 from ..models import init_mlp, init_mvsnet, mvsnet_apply
 from ..ops.geometry import get_ndc_coordinate, rays_from_pixels, \
     sample_random_pixels
-from ..render.renderer import render_rays, render_image_chunked
+from ..render.renderer import (render_rays, render_image_chunked,
+                               resolve_mlp_impl)
 from ..utils.schedulers import make_lr_schedule
 from .common import unpreprocess_images
 
@@ -147,7 +148,8 @@ class GeneralizableSystem:
                 volume_gather_impl=getattr(args, "volume_gather_impl",
                                            "auto"),
                 color_warp_mode=getattr(args, "color_warp_mode", "auto"),
-                mlp_impl=getattr(args, "mlp_impl", "auto"))
+                mlp_impl=resolve_mlp_impl(
+                    getattr(args, "mlp_impl", "auto"), training=True))
 
             img_loss = jnp.mean((out["rgb"] - target_rgb) ** 2)
             loss = img_loss

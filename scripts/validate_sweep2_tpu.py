@@ -61,11 +61,13 @@ print(f"tile spans: x mean {spans_x.mean():.1f} max {spans_x.max():.1f} "
 
 
 def build(mode_env, x):
+    # packed16 = the production training layout (dense materializes
+    # (D, hp, wp, cc) copies that OOM the grad test at DTU scale)
     os.environ["MVSNERF_SWEEP_IMPL"] = mode_env
     try:
         return jax.jit(lambda f: build_cost_volume(
             imgs, f, projs, depths, pad=PAD, warp_fwd_mode="pallas",
-            warp_band=32)[0])(x)
+            warp_band=32, cost_layout="packed16")[0])(x)
     finally:
         os.environ.pop("MVSNERF_SWEEP_IMPL", None)
 
@@ -83,7 +85,8 @@ def gloss(mode_env):
     try:
         return jax.jit(jax.grad(lambda f: jnp.sum(
             build_cost_volume(imgs, f, projs, depths, pad=PAD,
-                              warp_fwd_mode="pallas", warp_band=32)[0]
+                              warp_fwd_mode="pallas", warp_band=32,
+                              cost_layout="packed16")[0]
             ** 2)))(feats)
     finally:
         os.environ.pop("MVSNERF_SWEEP_IMPL", None)
