@@ -414,20 +414,30 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
                          c_img=Ci, cc=cc, wb=wb, bandp=bandp)
 
         def branch(srcs_cw, xs_unused, ys_unused):
+            from .pallas_sweep2 import TC
             srcs_hwc = srcs_cw.transpose(0, 1, 3, 2)   # (V-1, h, w, cp)
             refb_t = tile_lanes(
                 ref_p.reshape(hp // TR, TR * wp, cp).transpose(0, 2, 1),
                 wp)
             cost_t = cost_volume_xband_pallas(srcs_hwc, refb_t, xs_t,
                                               ys_t, static)
-            cost_cm = untile_lanes(cost_t, wp)
             ct = Ci * V + C
             if cost_layout == "packed16":
-                cm5 = cost_cm.reshape(cc, D // 16, 16, hp * wp)
-                parts = [cm5[:ct, :, p].transpose(1, 2, 0)
+                # tile-unpack FUSED into the packed16 relayout: one
+                # transpose pass instead of untile_lanes + pack (the
+                # separate untile measured +9 ms/direction at DTU scale,
+                # scripts/decompose_sweep2_device.py)
+                # lanes within a band are (tile, row, col); target rows
+                # (bpp, TR) and cols (nct, TC)
+                cm7 = cost_t.reshape(cc, D // 16, 16, hp // TR,
+                                     wp // TC, TR, TC)
+                parts = [cm7[:ct, :, p].transpose(1, 2, 4, 3, 5, 0)
                          for p in range(16)]
-                pk = jnp.concatenate(parts, axis=-1)
+                pk = jnp.concatenate(
+                    [p.reshape(D // 16, hp, wp, ct) for p in parts],
+                    axis=-1)
                 return pk.reshape(1, D // 16, hp, wp, 16 * ct)
+            cost_cm = untile_lanes(cost_t, wp)
             if cost_layout == "cmajor":
                 return cost_cm.reshape(cc, D, hp, wp)[:ct]
             return cost_cm.reshape(cc, D, hp, wp).transpose(1, 2, 3, 0)[
@@ -443,8 +453,11 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
                    )(fits, branch, cost_fn)
     from .pallas_sweep2 import xband_shape_ok
     impl_env = _os.environ.get("MVSNERF_SWEEP_IMPL", "auto")
-    if impl_env != "fused" and xband_shape_ok(hp, wp, h, w):
-        fits, branch = make_xband_branch(wb=32, bandp=16)
+    # window tuning override, e.g. MVSNERF_XBAND=32,12 (wb, bandp)
+    _xb_env = _os.environ.get("MVSNERF_XBAND", "32,16")
+    _wb, _bandp = (int(s) for s in _xb_env.split(","))
+    if impl_env != "fused" and xband_shape_ok(hp, wp, h, w, _wb, _bandp):
+        fits, branch = make_xband_branch(wb=_wb, bandp=_bandp)
         cost_fn = (lambda fits, branch, nxt:
                    lambda s, x, y: jax.lax.cond(fits, branch, nxt, s, x, y)
                    )(fits, branch, cost_fn)

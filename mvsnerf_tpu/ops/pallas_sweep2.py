@@ -87,8 +87,7 @@ def untile_lanes(x, wp: int, tr: int = TR, tc: int = TC):
 def xband_shape_ok(hp: int, wp: int, h: int, w: int,
                    wb: int = 32, bandp: int = 16) -> bool:
     """Static shape gate for the xband kernel."""
-    return (hp % TR == 0 and wp % TC == 0 and wb >= 16
-            and wb & (wb - 1) == 0        # pow2: in-kernel shift/mask
+    return (hp % TR == 0 and wp % TC == 0 and wb >= 16 and wb % 8 == 0
             and w >= wb and h >= bandp
             and (w - wb) % 8 == 0)        # xmin clip bound stays 8-aligned
 
@@ -128,7 +127,13 @@ def xband_fits(xs, ys, h: int, w: int, wb: int = 32,
 
 
 def _xb_warp_tile(xs, ys, v_ref, h, w, cp, wb, bandp):
-    """One (cp, MC) warped tile + the pieces the backward reuses."""
+    """One (cp, MC) warped tile + the pieces the backward reuses.
+
+    The joint weight matrix is built as a broadcast PRODUCT of the two
+    small per-axis hat matrices — wx (1, wb, MC) x wy (bandp, 1, MC) —
+    instead of hat-evaluating a (bandp*wb, MC) iota twice: ~2.5x fewer
+    large-vector VPU ops (the v5e VPU, not the MXU, limits this kernel)."""
+    mc = xs.shape[0]
     cx = jnp.clip(xs, -2.0, w + 1.0)
     cy = jnp.clip(ys, -2.0, h + 1.0)
     xmin = jnp.clip(jnp.floor(jnp.min(cx)), 0.0, float(w - wb))
@@ -139,17 +144,17 @@ def _xb_warp_tile(xs, ys, v_ref, h, w, cp, wb, bandp):
     vwin = v_ref[pl.ds(ymin, bandp), pl.ds(xmin8, wb), :]
     b = vwin.reshape(bandp * wb, cp)                  # (y, x)-major rows
 
-    shift = wb.bit_length() - 1                       # wb is pow2
-    j = jax.lax.broadcasted_iota(jnp.int32, (bandp * wb, xs.shape[0]), 0)
-    yj = jax.lax.shift_right_logical(j, shift).astype(jnp.float32)
-    xj = jnp.bitwise_and(j, wb - 1).astype(jnp.float32)
     # triangle-hat bilinear weights vs ABSOLUTE tap coords: rows outside
     # the image don't exist in the window => zeros padding for free
+    xi = jax.lax.broadcasted_iota(jnp.int32, (1, wb, mc), 1).astype(
+        jnp.float32)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (bandp, 1, mc), 0).astype(
+        jnp.float32)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(
-        xj + xmin8.astype(jnp.float32) - cx[None, :]))
+        xi + xmin8.astype(jnp.float32) - cx[None, None, :]))
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(
-        yj + ymin.astype(jnp.float32) - cy[None, :]))
-    w2 = wx * wy                                      # (bandp*wb, MC)
+        yi + ymin.astype(jnp.float32) - cy[None, None, :]))
+    w2 = (wy * wx).reshape(bandp * wb, mc)            # (bandp*wb, MC)
 
     warped = jax.lax.dot_general(
         b, w2, (((0,), (0,)), ((), ())),

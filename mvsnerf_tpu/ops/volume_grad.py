@@ -227,5 +227,10 @@ def volume_band_width(depth_planes: int, n_samples: int,
     columns can widen arbitrarily, so fall back to the generous default."""
     if n_importance > 0:
         return 8
+    # the estimate below already doubles the nominal inter-sample slope
+    # and adds 2 slabs of margin; the measured worst column span on
+    # stratified production batches is 1 slab (20-batch sweep, round 5),
+    # so a further +1 was pure band width (band 5 vs 4 costs ~1.5 ms of
+    # the 23 ms fine-tune step; round-3 ablation: band 8 vs 4 = +8 ms)
     span = 2 * max(depth_planes - 1, 1) // max(n_samples - 1, 1) + 2
-    return max(4, min(8, span + 1))
+    return max(4, min(8, span))

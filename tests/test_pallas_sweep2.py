@@ -118,3 +118,21 @@ def test_xband_forced_off_still_exact(monkeypatch):
                             warp_fwd_mode="pallas", warp_band=16)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_xband_packed16_fused_epilogue(monkeypatch):
+    """The tile-unpack permutation fused into the packed16 relayout must
+    equal the v1 path's packed16 output."""
+    from mvsnerf_tpu.ops.homography import build_cost_volume
+
+    feats, imgs, projs, depths = _scene(d=16)
+    monkeypatch.setenv("MVSNERF_SWEEP_IMPL", "fused")
+    ref = build_cost_volume(imgs, feats, projs, depths, pad=PAD,
+                            warp_fwd_mode="pallas", warp_band=16,
+                            cost_layout="packed16")[0]
+    monkeypatch.setenv("MVSNERF_SWEEP_IMPL", "xband")
+    out = build_cost_volume(imgs, feats, projs, depths, pad=PAD,
+                            warp_fwd_mode="pallas", warp_band=16,
+                            cost_layout="packed16")[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
