@@ -51,7 +51,7 @@ def plane_sweep_grid(proj_mat, depth_values, h: int, w: int, pad: int = 0):
 
 
 def plane_sweep_pix_coords(proj_mat, depth_values, h: int, w: int,
-                           pad: int = 0):
+                           pad: int = 0, lane_perm=None):
     """Source-PIXEL sweep coordinates as two flat (1, D*hp*wp) arrays.
 
     Same math as plane_sweep_grid + _pix_coords composed, but never
@@ -65,6 +65,13 @@ def plane_sweep_pix_coords(proj_mat, depth_values, h: int, w: int,
     ys = jnp.arange(hp, dtype=jnp.float32) - pad
     gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
     ref = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=0).reshape(3, -1)
+    if lane_perm is not None:
+        # permute the per-plane base grid BEFORE the projection: the
+        # coords then come out in the caller's lane order (e.g. the
+        # xband kernel's tile-major order) for free — permuting the
+        # (1, D*hp*wp) result after the fact is a 16-lane-granularity
+        # XLA relayout that measured 2.5 ms per array at DTU scale.
+        ref = ref[:, jnp.asarray(lane_perm)]
     rot = matmul_f32(proj_mat[:, :3], ref)          # (3, hp*wp)
     src = rot[None] + proj_mat[:, 3:][None] / \
         depth_values[:, None, None]                 # (D, 3, hp*wp)
@@ -405,11 +412,17 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
         """v2 x-windowed kernel (ops/pallas_sweep2.py): ~3x fewer MXU
         FLOPs than the v1 full-width one-hot contraction. Preferred when
         every (8x16)-sample tile's taps fit a (bandp, wb) source window."""
-        from .pallas_sweep2 import (TR, cost_volume_xband_pallas,
+        from .pallas_sweep2 import (TC, TR, cost_volume_xband_pallas,
                                     tile_lanes, untile_lanes, xband_fits)
 
-        xs_t = tile_lanes(xs, wp)
-        ys_t = tile_lanes(ys, wp)
+        import numpy as _np
+        perm = _np.arange(hp * wp).reshape(
+            hp // TR, TR, wp // TC, TC).transpose(0, 2, 1, 3).ravel()
+        coords_t = [plane_sweep_pix_coords(proj_mats[i], depth_values, h,
+                                           w, pad, lane_perm=perm)
+                    for i in range(1, V)]
+        xs_t = jnp.stack([c[0] for c in coords_t])
+        ys_t = jnp.stack([c[1] for c in coords_t])
         static = _Static(band=0, m=TR * wp, bpp=hp // TR, c_feat=C,
                          c_img=Ci, cc=cc, wb=wb, bandp=bandp)
 
@@ -453,8 +466,11 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
                    )(fits, branch, cost_fn)
     from .pallas_sweep2 import xband_shape_ok
     impl_env = _os.environ.get("MVSNERF_SWEEP_IMPL", "auto")
-    # window tuning override, e.g. MVSNERF_XBAND=32,12 (wb, bandp)
-    _xb_env = _os.environ.get("MVSNERF_XBAND", "32,16")
+    # window tuning override, e.g. MVSNERF_XBAND=32,16 (wb, bandp).
+    # Default bandp=12: DTU-geometry tile y-spans measure 7.5 + 2 tap
+    # rows (validate_sweep2_tpu.py round 5) and the per-batch fits cond
+    # falls back to the v1 kernel for geometries that need more.
+    _xb_env = _os.environ.get("MVSNERF_XBAND", "32,12")
     _wb, _bandp = (int(s) for s in _xb_env.split(","))
     if impl_env != "fused" and xband_shape_ok(hp, wp, h, w, _wb, _bandp):
         fits, branch = make_xband_branch(wb=_wb, bandp=_bandp)

@@ -18,6 +18,7 @@ fused Pallas path for the hot per-ray trilinear+MLP pipeline lives in
 from __future__ import annotations
 
 
+import jax
 import jax.numpy as jnp
 
 
@@ -298,9 +299,29 @@ def interpolate_bilinear_resize(img, out_h: int, out_w: int,
     else:
         ys = (jnp.arange(out_h) + 0.5) * (H / out_h) - 0.5
         xs = (jnp.arange(out_w) + 0.5) * (W / out_w) - 0.5
-    # Convert to the normalized grid of grid_sample_2d (align_corners=True
-    # mapping) and sample with border padding == torch interpolate's edge clamp.
-    gy = ys / (H - 1) * 2.0 - 1.0 if H > 1 else jnp.zeros_like(ys)
-    gx = xs / (W - 1) * 2.0 - 1.0 if W > 1 else jnp.zeros_like(xs)
-    grid = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)
-    return grid_sample_2d(img, grid, padding_mode="border")
+    # The sampling grid is FIXED and separable, so the resize is two
+    # small hat-matrix matmuls (MXU) instead of a 2-D gather — the
+    # gather formulation cost several ms per cost-volume build on TPU.
+    # HIGHEST precision keeps f32 weight x value products exact (DEFAULT
+    # would truncate operands to bf16); border clamp == torch
+    # interpolate's edge behavior.
+    ry = _resize_hat(ys, H)                     # (out_h, H)
+    rx = _resize_hat(xs, W)                     # (out_w, W)
+    t = jnp.einsum("oh,hwc->owc", ry, img,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("owc,xw->oxc", t, rx,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _resize_hat(coords, size: int):
+    """(len(coords), size) bilinear weight matrix with border clamp:
+    row i holds (1-frac) at clamp(floor(c_i)) and frac at
+    clamp(floor(c_i)+1) (weights merge on the same index at the edges,
+    summing to 1 — exactly grid_sample border padding)."""
+    c0 = jnp.floor(coords)
+    frac = (coords - c0)[:, None]
+    i0 = jnp.clip(c0.astype(jnp.int32), 0, size - 1)[:, None]
+    i1 = jnp.clip(c0.astype(jnp.int32) + 1, 0, size - 1)[:, None]
+    ar = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], size), 1)
+    return (jnp.where(ar == i0, 1.0 - frac, 0.0)
+            + jnp.where(ar == i1, frac, 0.0))
