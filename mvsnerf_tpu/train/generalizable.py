@@ -333,6 +333,17 @@ class GeneralizableSystem:
                         f"no ckpt_*.msgpack snapshot in {ckpt_path_or_dir!r}")
                 return 0
             _, path = latest
+        if self.opt_state is None:
+            # materialize the optimizer-state STRUCTURE before
+            # deserializing: a None target makes flax return raw string-
+            # keyed dicts and the first resumed step dies inside optax
+            # (caught by the round-5 dress rehearsal's kill+resume phase).
+            # The structure depends only on params and on adam-with-
+            # schedule (ScaleByScheduleState), not on num_steps.
+            schedule = make_lr_schedule(self.args.lrate, "cosine",
+                                        num_steps=1, eta_min=1e-7)
+            self.opt_state = optax.adam(schedule, b1=0.9,
+                                        b2=0.999).init(self.params)
         state = load_checkpoint(path, {"params": self.params,
                                        "opt_state": self.opt_state,
                                        "global_step": 0})

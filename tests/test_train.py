@@ -244,3 +244,22 @@ def test_fusion_tiled_render_image():
     rgb_t = np.asarray(out_t["rgb"]).reshape(-1, 3)
     assert np.isfinite(rgb_t).all()
     np.testing.assert_allclose(rgb_t, np.asarray(out_c["rgb"]), atol=8e-2)
+
+
+def test_generalizable_restore_before_step(tmp_path):
+    """Kill + resume into a FRESH system (the dress-rehearsal scenario):
+    restore() runs before any _make_step, so opt_state is still None —
+    the deserialization target must be materialized or flax hands back
+    string-keyed dicts and the first resumed step dies inside optax
+    (caught on device, round 5)."""
+    from mvsnerf_tpu.train import GeneralizableSystem
+
+    args = _args("--with_depth_loss --with_depth")
+    sys_ = GeneralizableSystem(args)
+    ds = FakeDTUDataset(n=2)
+    sys_.fit(ds, num_epochs=1, max_steps=2, ckpt_dir=str(tmp_path),
+             ckpt_every=1)
+    fresh = GeneralizableSystem(args)
+    assert fresh.restore(str(tmp_path)) == 2
+    fresh.fit(ds, num_epochs=2, max_steps=4)
+    assert fresh.global_step == 4
