@@ -413,7 +413,7 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
         FLOPs than the v1 full-width one-hot contraction. Preferred when
         every (8x16)-sample tile's taps fit a (bandp, wb) source window."""
         from .pallas_sweep2 import (TC, TR, cost_volume_xband_pallas,
-                                    xband_fits)
+                                    tile_lanes, untile_lanes, xband_fits)
 
         import numpy as _np
         perm = _np.arange(hp * wp).reshape(
@@ -427,31 +427,34 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
                          c_img=Ci, cc=cc, wb=wb, bandp=bandp)
 
         def branch(srcs_cw, xs_unused, ys_unused):
+            from .pallas_sweep2 import TC
             srcs_hwc = srcs_cw.transpose(0, 1, 3, 2)   # (V-1, h, w, cp)
-            # SAMPLE-major (bpp, m, cp) reference with tile-major rows
-            perm_band = _np.arange(TR * wp).reshape(
-                TR, wp // TC, TC).transpose(1, 0, 2).ravel()
-            refb_t = ref_p.reshape(hp // TR, TR * wp, cp)[
-                :, jnp.asarray(perm_band), :]
+            refb_t = tile_lanes(
+                ref_p.reshape(hp // TR, TR * wp, cp).transpose(0, 2, 1),
+                wp)
             cost_t = cost_volume_xband_pallas(srcs_hwc, refb_t, xs_t,
                                               ys_t, static)
             ct = Ci * V + C
             if cost_layout == "packed16":
-                # the kernel output is channel-minor, so tile-unpack +
-                # plane-pack is ONE permutation (the channel-major
-                # formulation needed untile + 16 per-plane transposes,
-                # ~16 ms/direction at DTU scale —
+                # tile-unpack FUSED into the packed16 relayout: one
+                # transpose pass instead of untile_lanes + pack (the
+                # separate untile measured +9 ms/direction at DTU scale,
                 # scripts/decompose_sweep2_device.py)
-                c7 = cost_t.reshape(D // 16, 16, hp // TR, wp // TC,
-                                    TR, TC, cc)[..., :ct]
-                pk = c7.transpose(0, 2, 4, 3, 5, 1, 6)
+                # lanes within a band are (tile, row, col); target rows
+                # (bpp, TR) and cols (nct, TC)
+                cm7 = cost_t.reshape(cc, D // 16, 16, hp // TR,
+                                     wp // TC, TR, TC)
+                parts = [cm7[:ct, :, p].transpose(1, 2, 4, 3, 5, 0)
+                         for p in range(16)]
+                pk = jnp.concatenate(
+                    [p.reshape(D // 16, hp, wp, ct) for p in parts],
+                    axis=-1)
                 return pk.reshape(1, D // 16, hp, wp, 16 * ct)
-            # dense channel-last needs only the row un-tiling
-            c5 = cost_t.reshape(D * hp // TR, wp // TC, TR, TC, cc)
-            dense = jnp.swapaxes(c5, 1, 2).reshape(D, hp, wp, cc)[..., :ct]
+            cost_cm = untile_lanes(cost_t, wp)
             if cost_layout == "cmajor":
-                return dense.transpose(3, 0, 1, 2)
-            return dense
+                return cost_cm.reshape(cc, D, hp, wp)[:ct]
+            return cost_cm.reshape(cc, D, hp, wp).transpose(1, 2, 3, 0)[
+                ..., :ct]
 
         return xband_fits(xs_t, ys_t, h, w, wb, bandp), branch
 

@@ -156,12 +156,9 @@ def _xb_warp_tile(xs, ys, v_ref, h, w, cp, wb, bandp):
         yi + ymin.astype(jnp.float32) - cy[None, None, :]))
     w2 = (wy * wx).reshape(bandp * wb, mc)            # (bandp*wb, MC)
 
-    # SAMPLE-major output (MC, cp): keeps the whole kernel (and its
-    # (N, cc) output) channel-minor so the packed16 epilogue is one
-    # cheap permutation instead of a channel-major untile + repack.
     warped = jax.lax.dot_general(
-        w2, b, (((0,), (0,)), ((), ())),
-        precision=INTERP, preferred_element_type=jnp.float32)  # (MC, cp)
+        b, w2, (((0,), (0,)), ((), ())),
+        precision=INTERP, preferred_element_type=jnp.float32)  # (cp, MC)
     return warped, w2, xmin8, ymin
 
 
@@ -177,34 +174,37 @@ def _xb_fwd_kernel(x_ref, y_ref, refb_ref, *rest, h, w, cp, n_src, bpp,
     out_ref = rest[n_src]
     i = pl.program_id(0)
     rowblock = jax.lax.rem(i, bpp)
-    ref_sm = refb_ref[pl.ds(rowblock, 1)].reshape(refb_ref.shape[1],
+    ref_cm = refb_ref[pl.ds(rowblock, 1)].reshape(refb_ref.shape[1],
                                                   refb_ref.shape[2])
-    cc = out_ref.shape[1]
+    cc = out_ref.shape[0]
     for t in range(nct):
-        sl = slice(t * MC, (t + 1) * MC)              # static sublane slice
-        ref_t = ref_sm[sl, :]                         # (MC, cp)
-        vsum = ref_t[:, :c_feat]
-        vsq = ref_t[:, :c_feat] ** 2
-        count = jnp.ones((MC, 1), jnp.float32)
+        sl = slice(t * MC, (t + 1) * MC)              # static lane slice
+        ref_t = ref_cm[:, sl]
+        vsum = ref_t[:c_feat]
+        vsq = ref_t[:c_feat] ** 2
+        count = jnp.ones((1, MC), jnp.float32)
         wimgs = []
         for v in range(n_src):
             xs = x_ref[v, 0, sl]
             ys = y_ref[v, 0, sl]
             warped, _, _, _ = _xb_warp_tile(xs, ys, src_refs[v], h, w,
                                             cp, wb, bandp)
-            vsum = vsum + warped[:, :c_feat]
-            vsq = vsq + warped[:, :c_feat] ** 2
-            wimgs.append(warped[:, c_feat:c_feat + c_img])
-            count = count + _mask_tile(xs, ys, h, w)[:, None]
+            vsum = vsum + warped[:c_feat]
+            vsq = vsq + warped[:c_feat] ** 2
+            wimgs.append(warped[c_feat:c_feat + c_img])
+            count = count + _mask_tile(xs, ys, h, w)[None, :]
         invc = 1.0 / count
         mean = vsum * invc
         var = vsq * invc - mean * mean
 
+        out_ref[0:c_img, sl] = ref_t[c_feat:c_feat + c_img]
+        for v in range(n_src):
+            out_ref[c_img * (1 + v):c_img * (2 + v), sl] = wimgs[v]
         base = c_img * (1 + n_src)
-        parts = [ref_t[:, c_feat:c_feat + c_img]] + wimgs + [var]
+        out_ref[base:base + c_feat, sl] = var
         if cc > base + c_feat:
-            parts.append(jnp.zeros((MC, cc - base - c_feat), jnp.float32))
-        out_ref[sl, :] = jnp.concatenate(parts, axis=1)
+            out_ref[base + c_feat:, sl] = jnp.zeros(
+                (cc - base - c_feat, MC), jnp.float32)
 
 
 def _xb_bwd_kernel(x_ref, y_ref, refb_ref, *rest, h, w, cp, n_src, bpp,
@@ -222,15 +222,15 @@ def _xb_bwd_kernel(x_ref, y_ref, refb_ref, *rest, h, w, cp, n_src, bpp,
             gsrc_refs[v][...] = jnp.zeros_like(gsrc_refs[v])
         grefb_ref[...] = jnp.zeros_like(grefb_ref)
 
-    ref_sm = refb_ref[pl.ds(rowblock, 1)].reshape(refb_ref.shape[1],
+    ref_cm = refb_ref[pl.ds(rowblock, 1)].reshape(refb_ref.shape[1],
                                                   refb_ref.shape[2])
     base = c_img * (1 + n_src)
     for t in range(nct):
         sl = slice(t * MC, (t + 1) * MC)
-        ref_t = ref_sm[sl, :]                         # (MC, cp)
+        ref_t = ref_cm[:, sl]
         # recompute the forward accumulation for this tile
-        vsum = ref_t[:, :c_feat]
-        count = jnp.ones((MC, 1), jnp.float32)
+        vsum = ref_t[:c_feat]
+        count = jnp.ones((1, MC), jnp.float32)
         warps = []
         for v in range(n_src):
             xs = x_ref[v, 0, sl]
@@ -238,36 +238,35 @@ def _xb_bwd_kernel(x_ref, y_ref, refb_ref, *rest, h, w, cp, n_src, bpp,
             warped, w2, xmin8, ymin = _xb_warp_tile(
                 xs, ys, src_refs[v], h, w, cp, wb, bandp)
             warps.append((warped, w2, xmin8, ymin))
-            vsum = vsum + warped[:, :c_feat]
-            count = count + _mask_tile(xs, ys, h, w)[:, None]
+            vsum = vsum + warped[:c_feat]
+            count = count + _mask_tile(xs, ys, h, w)[None, :]
         invc = 1.0 / count
         mean = vsum * invc
-        g_t = g_ref[sl, :]                            # (MC, cc)
-        g_var = g_t[:, base:base + c_feat]
+        g_var = g_ref[base:base + c_feat, sl]
         two_invc = 2.0 * invc
 
         for v in range(n_src):
             warped, w2, xmin8, ymin = warps[v]
-            g_feat = g_var * (two_invc * (warped[:, :c_feat] - mean))
-            g_img = g_t[:, c_img * (1 + v):c_img * (2 + v)]
+            g_feat = g_var * (two_invc * (warped[:c_feat] - mean))
+            g_img = g_ref[c_img * (1 + v):c_img * (2 + v), sl]
             g_cat = jnp.concatenate(
                 [g_feat, g_img,
-                 jnp.zeros((MC, cp - c_feat - c_img), jnp.float32)],
-                axis=1)                               # (MC, cp)
+                 jnp.zeros((cp - c_feat - c_img, MC), jnp.float32)],
+                axis=0)                               # (cp, MC)
             gb = jax.lax.dot_general(
-                w2, g_cat, (((1,), (0,)), ((), ())),
+                w2, g_cat, (((1,), (1,)), ((), ())),
                 precision=INTERP,
                 preferred_element_type=jnp.float32)   # (bandp*wb, cp)
             gsrc_refs[v][pl.ds(ymin, bandp),
                          pl.ds(xmin8, wb), :] += gb.reshape(bandp, wb, cp)
 
-        g_ref_feat = g_var * (two_invc * (ref_t[:, :c_feat] - mean))
-        g_ref_img = g_t[:, 0:c_img]
-        pad_cols = refb_ref.shape[2] - c_feat - c_img
+        g_ref_feat = g_var * (two_invc * (ref_t[:c_feat] - mean))
+        g_ref_img = g_ref[0:c_img, sl]
+        pad_rows = refb_ref.shape[1] - c_feat - c_img
         g_ref_cat = jnp.concatenate(
             [g_ref_feat, g_ref_img,
-             jnp.zeros((MC, pad_cols), jnp.float32)], axis=1)
-        grefb_ref[pl.ds(rowblock, 1), sl, :] += g_ref_cat[None]
+             jnp.zeros((pad_rows, MC), jnp.float32)], axis=0)
+        grefb_ref[pl.ds(rowblock, 1), :, sl] += g_ref_cat[None]
 
 
 # ----------------------------------------------------------- custom VJP ---
@@ -302,9 +301,9 @@ def _xb_fwd_impl(srcs_hwc, refb, xs, ys, static, interpret):
         kern,
         grid=(n // m,),
         in_specs=_xb_specs(srcs_hwc, refb, m),
-        out_specs=pl.BlockSpec((m, cc), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((cc, m), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, cc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cc, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -321,17 +320,16 @@ def cost_volume_xband_pallas(srcs_hwc, refb, xs, ys, static,
     Args:
         srcs_hwc: (V-1, h, w, cp) CHANNEL-LAST per-view [feat | rgb]
             sources, cp a multiple of 8 (natural layout — no transpose).
-        refb: (bpp, m, cp) reference repacked by row band, SAMPLE-major
-            with tile-major samples, m = TR * wp samples per band.
+        refb: (bpp, cp, m) reference repacked by row band with TILE-MAJOR
+            lanes (tile_lanes), m = TR * wp samples per band.
         xs, ys: (V-1, 1, N) TILE-MAJOR source-pixel coords.
         static: _Static(band unused, m=, bpp=, c_feat=, c_img=, cc=,
             wb=, bandp=).
 
     Returns:
-        cost (N, cc) SAMPLE-major with TILE-MAJOR rows: channels
-        [ref rgb, per-view warped rgb, variance, zero pad]
-        (models.py:858-860 ordering). Channel-minor keeps the packed16
-        epilogue a single permutation; callers un-tile the row order.
+        cost (cc, N) TILE-MAJOR: channels [ref rgb, per-view warped rgb,
+        variance, zero pad] (models.py:858-860 ordering); callers
+        untile_lanes it back to row-major.
     """
     return _xb_fwd_impl(srcs_hwc, refb, xs, ys, static, interpret)
 
@@ -359,7 +357,7 @@ def _xb_bwd_rule(static, interpret, res, g):
         + [pl.BlockSpec(refb.shape, lambda i: (0, 0, 0),
                         memory_space=pltpu.VMEM)])
     in_specs = _xb_specs(srcs_hwc, refb, m) + [
-        pl.BlockSpec((m, static["cc"]), lambda i: (i, 0),
+        pl.BlockSpec((static["cc"], m), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
     ]
     outs = pl.pallas_call(
