@@ -25,8 +25,7 @@ from ..io.torch_ckpt import load_reference_checkpoint
 from ..models import init_mlp, init_mvsnet, mvsnet_apply
 from ..ops.geometry import get_ndc_coordinate, rays_from_pixels, \
     sample_random_pixels
-from ..render.renderer import (render_rays, render_image_chunked,
-                               resolve_mlp_impl)
+from ..render.renderer import render_rays, render_image_chunked
 from ..utils.schedulers import make_lr_schedule
 from .common import unpreprocess_images
 
@@ -148,8 +147,15 @@ class GeneralizableSystem:
                 volume_gather_impl=getattr(args, "volume_gather_impl",
                                            "auto"),
                 color_warp_mode=getattr(args, "color_warp_mode", "auto"),
-                mlp_impl=resolve_mlp_impl(
-                    getattr(args, "mlp_impl", "auto"), training=True))
+                # device A/B (docs/status.md round 5): the fused train
+                # MLP wins the fine-tune step but LOSES this step
+                # (210.5 vs 187.4 ms — its custom VJP cuts the graph
+                # XLA otherwise fuses with the conv backward), so
+                # 'auto' pins the XLA MLP here; explicit --mlp_impl
+                # still overrides.
+                mlp_impl=("xla"
+                          if getattr(args, "mlp_impl", "auto") == "auto"
+                          else args.mlp_impl))
 
             img_loss = jnp.mean((out["rgb"] - target_rgb) ** 2)
             loss = img_loss
