@@ -111,9 +111,12 @@ def _emit(metric, value, unit, vs_baseline, reps=None,
         is 3x the fine-tune anchor — at anchor +-30%, a 10.0x reads
         7.7x-14.3x; see module docstring).
     quality: 'exact' = bit-comparable output to the reference protocol
-        path; 'approx' = measured quality delta documented in
-        docs/status.md (the color-baked tiled path is ~2.8 dB below
-        exact on the protocol scene).
+        path; 'protocol' = the production eval default whose deltas are
+        bf16-operand class (banded gather forward: per-image
+        |dPSNR| <= 0.26 dB, mean +0.08 vs exact on the A/B scene —
+        docs/status.md round 5); 'approx' = measured quality delta
+        documented in docs/status.md (the color-baked tiled path is
+        ~2.8 dB below exact on the protocol scene).
     cost: XLA cost_analysis dict of the timed loop (body counted once);
         adds `mfu` (flops / time / bf16 MXU peak) and
         `xla_bytes_frac` = XLA "bytes accessed" / time / HBM peak.
@@ -325,10 +328,11 @@ def bench_renders(system):
         return pts, pts_ndc, z_vals, rays_d
 
     # ---- (4) EXACT chunked path — production EVAL semantics -------------
-    # (renderer.ipynb cells 4-18 / eval/evaluate.py render_rays_buffer:
-    # plain index_point_feature gather — NO fast_volume_grad; round 4's
-    # bench passed fast_volume_grad=True which silently A/B'd the
-    # training gather in the render metric, VERDICT r4 weak 1)
+    # (renderer.ipynb cells 4-18 / eval/evaluate.py render_rays_buffer
+    # with its production TPU default --eval_gather auto = the banded
+    # gather forward: the plain XLA trilinear gather serializes on TPU,
+    # 221 vs 42.9 ms per 16384-ray chunk —
+    # scripts/ab_gather_render_shape.py; PSNR parity in docs/status.md)
     if _want("render"):
         chunk = 16384
 
@@ -336,7 +340,9 @@ def bench_renders(system):
             pts, pts_ndc, z_vals, rays_d = ray_geometry(xs, ys)
             out = render_rays(params["mlp"], params["volume"], pts,
                               pts_ndc, z_vals, rays_d, w2c_ref=w2cs[0],
-                              w2cs=w2cs, intrinsics=intrs, imgs=imgs)
+                              w2cs=w2cs, intrinsics=intrs, imgs=imgs,
+                              fast_volume_grad=True, volume_band_k=4,
+                              volume_gather_impl="banded")
             return {"rgb": out["rgb"], "depth": out["depth"]}
 
         def render_image(xs, ys):
@@ -348,7 +354,7 @@ def bench_renders(system):
         rate = H * W / sec
         _emit("render_rays_per_sec_per_chip", rate, "rays/s",
               rate / RENDER_BASELINE_RAYS_PER_SEC, anchor="derived",
-              quality="exact", sec_per_iter=sec, cost=cost)
+              quality="protocol", sec_per_iter=sec, cost=cost)
 
     # ---- fused tiled Pallas paths (3) hybrid + (5) approx ---------------
     if not (_want("hybrid") or _want("tiled")):

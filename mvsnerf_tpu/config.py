@@ -88,6 +88,18 @@ def config_parser(cmd=None):
                              "fallback (ops/pallas_volgather2.py); "
                              "'auto' = the device-measured winner on TPU "
                              "(see docs/status.md), banded elsewhere")
+    parser.add_argument("--eval_gather", type=str, default="auto",
+                        choices=["auto", "exact", "fast"],
+                        help="encoding-volume gather for EVAL renders: "
+                             "'exact' = XLA trilinear gather (bit-parity "
+                             "with F.grid_sample; ~221 ms per 16384-ray "
+                             "chunk on v5e — gathers serialize on TPU); "
+                             "'fast' = banded-matmul forward "
+                             "(ops/volume_grad.py banded factorization, "
+                             "42.9 ms per chunk; bf16-operand class "
+                             "feature delta ~1e-2, PSNR parity recorded "
+                             "in docs/status.md round 5); 'auto' = fast "
+                             "on TPU, exact elsewhere")
     parser.add_argument("--mlp_impl", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "pallas_high"],
                         help="NeRF-MLP implementation in TRAINING steps: "

@@ -86,6 +86,14 @@ class Evaluator:
         inv_scale = jnp.asarray([W - 1.0, H - 1.0])
         nf = jnp.asarray(near_far, jnp.float32)
 
+        # 'fast' = banded-matmul gather forward: the plain XLA trilinear
+        # gather serializes on TPU (221 vs 42.9 ms per 16384-ray chunk,
+        # scripts/ab_gather_render_shape.py); PSNR parity vs 'exact'
+        # recorded in docs/status.md round 5.
+        mode = getattr(args, "eval_gather", "auto")
+        fast = mode == "fast" or (mode == "auto"
+                                  and jax.default_backend() == "tpu")
+
         def chunk_fn(r):
             pts, rays_o, rays_d, z_vals = ray_marcher(
                 jax.random.PRNGKey(0), r, args.N_samples, perturb=0.0,
@@ -98,7 +106,9 @@ class Evaluator:
                 self.mlp, volume, pts, pts_ndc, z_vals, rays_d,
                 w2c_ref=w2c_ref, w2cs=pose_source["w2cs"],
                 intrinsics=pose_source["intrinsics"], imgs=imgs,
-                net_type=args.net_type, white_bkgd=args.white_bkgd)
+                net_type=args.net_type, white_bkgd=args.white_bkgd,
+                fast_volume_grad=fast, volume_band_k=4,
+                volume_gather_impl="banded")
             return {"rgb": out["rgb"], "depth": out["depth"]}
 
         return render_image_chunked(chunk_fn, (jnp.asarray(rays),),

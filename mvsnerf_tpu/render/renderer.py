@@ -144,22 +144,27 @@ def resolve_volume_gather_impl(impl: str, volume_shape, n_rays: int,
     power of two <= 128 (the color-baked 20-channel volume is NOT),
     N % 8 == 0, and D >= band_k + 1.
 
-    'auto' resolution (round-4 device A/Bs, docs/status.md):
+    'auto' resolution (round-4/5 device A/Bs, docs/status.md):
       * v1 ('pallas') is a measured NEGATIVE — in-step 30.1 vs 23.8 ms;
         it pays the same dense one-hot matmul FLOPs as the banded path.
       * v2 ('pallas2', y-sorted blocks, ops/pallas_volgather2.py) WINS
-        on TPU: isolated fwd+bwd 7.71 vs 9.67 ms, in-step 21.0 vs
-        23.7 ms = 48.7k vs 43.3k rays/s (scripts/diag_volgather2.py,
-        ab_volgather_step.py). 'auto' resolves to it on TPU when the
-        shape fits; it still lax.cond-falls back per batch if the
-        (z, y) band contract fails on the actual coordinates.
+        on TPU at TRAINING batch shapes (isolated fwd 4.1 vs banded
+        5.8 ms at 1024x128) but LOSES at full-image render chunks
+        (49.3 vs 42.9 ms at 16384x128 — the per-batch argsort grows
+        with n and the y-band narrows less for structured rows), so
+        'auto' is SHAPE-GATED to n_rays <= 4096
+        (scripts/ab_gather_render_shape.py, round 5 — this gate is the
+        fix for the r4 render regression 130.4k -> 117.0k rays/s). It
+        still lax.cond-falls back per batch if the (z, y) band contract
+        fails on the actual coordinates.
       * off-TPU 'auto' stays banded (the kernel would run in interpret
         mode — orders of magnitude slower than XLA on CPU)."""
     d, _, _, c = volume_shape
     fits = (c & (c - 1) == 0 and c <= 128 and n_rays % 8 == 0
             and d >= band_k + 1)
     if impl == "auto":
-        return ("pallas2" if fits and jax.default_backend() == "tpu"
+        return ("pallas2" if fits and n_rays <= 4096
+                and jax.default_backend() == "tpu"
                 else "banded")
     if impl in ("pallas", "pallas_bf16") and not fits:
         return "banded"
