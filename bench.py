@@ -16,9 +16,10 @@ the headline numbers):
 3. render_hybrid_rays_per_sec_per_chip — full-image 640x512 render on
    the fused tiled Pallas kernel with EXACT per-sample colors streamed
    in (bit-comparable quality to the chunked path; docs/status.md r4).
-4. render_rays_per_sec_per_chip — the same image on the EXACT chunked
-   path with the production EVAL semantics (renderer.ipynb cells 4-18:
-   plain volume gather, no fast_volume_grad, HIGHEST-precision MLP).
+4. render_rays_per_sec_per_chip — the same image on the chunked path
+   with the production EVAL semantics (renderer.ipynb cells 4-18
+   protocol; --eval_gather auto = banded gather forward on TPU, PSNR
+   parity recorded in docs/status.md r5; HIGHEST-precision MLP).
 5. render_tiled_rays_per_sec_per_chip — the APPROXIMATE fused tiled
    path over a color-baked volume (quality delta documented in
    docs/status.md).
