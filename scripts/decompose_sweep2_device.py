@@ -116,3 +116,47 @@ sec = device_time(pack16, dummy, iters=8, base_iters=2)
 print(f"{'pack16 alone':24s} {sec * 1e3:8.2f} ms", flush=True)
 sec = device_time(lambda x: tile_lanes(x, wp), xs, iters=8, base_iters=2)
 print(f"{'tile_lanes (coords x1)':24s} {sec * 1e3:8.2f} ms", flush=True)
+
+
+# --- epilogue formulation A/B: fused 6-D permutation vs 3 staged
+# transposes (channel-minor first, then row un-tile with (TC*cc)
+# contiguous units, then plane pack) with optimization barriers so XLA
+# can't re-merge the stages into the 16-lane-granularity single pass.
+from mvsnerf_tpu.ops.pallas_sweep2 import TC as _TC  # noqa: E402
+
+ct2 = Ci * 3 + C
+bpp2 = hp // TR
+nct2 = wp // _TC
+
+
+def pack16_fused_from_tiles(cm):
+    cm7 = cm.reshape(cc, D // 16, 16, bpp2, nct2, TR, _TC)
+    parts = [cm7[:ct2, :, p].transpose(1, 2, 4, 3, 5, 0)
+             for p in range(16)]
+    return jnp.concatenate(
+        [p.reshape(D // 16, hp, wp, ct2) for p in parts],
+        axis=-1).reshape(1, D // 16, hp, wp, 16 * ct2)
+
+
+def pack16_staged_from_tiles(cm):
+    sm = cm.T                                       # (N, cc)
+    sm = jax.lax.optimization_barrier(sm)
+    s5 = sm.reshape(D * bpp2, nct2, TR, _TC, cc)
+    s5 = jnp.swapaxes(s5, 1, 2)                     # 3KB move units
+    s5 = jax.lax.optimization_barrier(s5)
+    d5 = s5.reshape(D // 16, 16, hp, wp, cc)
+    pk = d5.transpose(0, 2, 3, 1, 4)[..., :ct2]
+    return pk.reshape(1, D // 16, hp, wp, 16 * ct2)
+
+
+ref_pk = jax.jit(pack16_fused_from_tiles)(dummy)
+out_pk = jax.jit(pack16_staged_from_tiles)(dummy)
+import numpy as _nptest
+_nptest.testing.assert_allclose(_nptest.asarray(out_pk),
+                                _nptest.asarray(ref_pk))
+print("staged epilogue matches fused", flush=True)
+
+sec = device_time(pack16_fused_from_tiles, dummy, iters=8, base_iters=2)
+print(f"{'epilogue fused 6-D':24s} {sec * 1e3:8.2f} ms", flush=True)
+sec = device_time(pack16_staged_from_tiles, dummy, iters=8, base_iters=2)
+print(f"{'epilogue staged 3-pass':24s} {sec * 1e3:8.2f} ms", flush=True)
