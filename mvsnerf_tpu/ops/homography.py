@@ -435,6 +435,15 @@ def _build_cost_volume_pallas(imgs_l, feats, proj_mats, depth_values, pad,
             cost_t = cost_volume_xband_pallas(srcs_hwc, refb_t, xs_t,
                                               ys_t, static)
             ct = Ci * V + C
+            if cost_layout == "packed16" and \
+                    _os.environ.get("MVSNERF_XBAND_PACK", "kernel") \
+                    != "xla":
+                # Pallas repack/unpack kernels (bit-exact): the XLA
+                # permutation costs ~15 ms per direction IN CONTEXT (8.3
+                # isolated); the kernels cut the full build fwd+bwd
+                # 72.8 -> 32.4 ms (scripts/probe_xband_overhead.py, r5)
+                from .pallas_sweep2 import pack16_from_tiles
+                return pack16_from_tiles(cost_t, D, hp, wp, ct)
             if cost_layout == "packed16":
                 # tile-unpack FUSED into the packed16 relayout: one
                 # transpose pass instead of untile_lanes + pack (the

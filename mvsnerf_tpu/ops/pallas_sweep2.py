@@ -378,3 +378,139 @@ def _xb_bwd_rule(static, interpret, res, g):
 
 
 cost_volume_xband_pallas.defvjp(_xb_fwd_rule, _xb_bwd_rule)
+
+
+# ------------------------------------------------- packed16 repack kernel --
+
+
+def _pack16_kernel(in_ref, out_ref, *, ct, nct, cc, m, q):
+    """One (plane-group, q row-bands) block: 16 planes' (cc, m)
+    channel-major tile-major slabs -> the packed16 (q*TR, wp, 16*ct)
+    spatial block.
+
+    The XLA formulation of this permutation moves 16-lane units and costs
+    ~15 ms per direction at DTU scale (scripts/probe_xband_overhead.py);
+    here the relayout happens in VMEM: one (cc, m) transpose per plane,
+    free sublane splits, and masked channel-slot inserts."""
+    for p in range(16):
+        for b2 in range(q):
+            v = in_ref[:, 0, p, b2 * m:(b2 + 1) * m]  # (cc, m)
+            vt = v.T                                  # (m, cc)
+            s = vt.reshape(nct, TR * TC, cc)          # free leading split
+            for t in range(nct):
+                blk = s[t].reshape(TR, TC, cc)        # free sublane split
+                out_ref[0, 0, b2 * TR:(b2 + 1) * TR,
+                        t * TC:(t + 1) * TC,
+                        p * ct:(p + 1) * ct] = blk[:, :, :ct]
+
+
+def _pack16_xla(cost_t, d, hp, wp, ct, cc):
+    """Reference XLA formulation (also the custom-vjp backward via AD)."""
+    cm7 = cost_t.reshape(cc, d // 16, 16, hp // TR, wp // TC, TR, TC)
+    parts = [cm7[:ct, :, p].transpose(1, 2, 4, 3, 5, 0)
+             for p in range(16)]
+    return jnp.concatenate(
+        [p.reshape(d // 16, hp, wp, ct) for p in parts],
+        axis=-1).reshape(1, d // 16, hp, wp, 16 * ct)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def pack16_from_tiles(cost_t, d: int, hp: int, wp: int, ct: int,
+                      interpret: bool | None = None):
+    """Tile-major (cc, N) xband cost volume -> packed16
+    (1, D/16, hp, wp, 16*ct) via a Pallas repack kernel; backward is the
+    XLA inverse permutation (exact)."""
+    cc, n = cost_t.shape
+    bpp = hp // TR
+    nct = wp // TC
+    m = TR * wp
+    # q row-bands per grid step: the in block's LAST TWO dims must be
+    # (equal-to-array, 128-multiple), so bands stay folded into the flat
+    # minor axis (free reshape of (cc, N) — no relayout)
+    q = 2 if bpp % 2 == 0 else 1
+    cm4 = cost_t.reshape(cc, d // 16, 16, bpp * m)
+    kern = functools.partial(_pack16_kernel, ct=ct, nct=nct, cc=cc, m=m,
+                             q=q)
+    out = pl.pallas_call(
+        kern,
+        grid=(d // 16, bpp // q),
+        in_specs=[pl.BlockSpec((cc, 1, 16, q * m),
+                               lambda i, j: (0, i, 0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, q * TR, wp, 16 * ct),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d // 16, bpp // q, q * TR, wp,
+                                        16 * ct), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_auto_interpret(interpret),
+    )(cm4)
+    return out.reshape(1, d // 16, hp, wp, 16 * ct)
+
+
+def _pack16_fwd(cost_t, d, hp, wp, ct, interpret):
+    return pack16_from_tiles(cost_t, d, hp, wp, ct, interpret), \
+        cost_t.shape
+
+
+def _pack16_bwd(d, hp, wp, ct, interpret, res, g):
+    cc, n = res
+    return (unpack16_to_tiles(g, cc, d, hp, wp, ct, interpret),)
+
+
+pack16_from_tiles.defvjp(_pack16_fwd, _pack16_bwd)
+
+
+def _unpack16_kernel(g_ref, out_ref, *, ct, nct, cc, m, q):
+    """Inverse of _pack16_kernel: packed16 spatial cotangent block ->
+    16 planes' channel-major tile-major (cc, m) slabs (ct->cc rows
+    zero-padded — the kernel's pad channels carry no gradient)."""
+    for p in range(16):
+        for b2 in range(q):
+            tiles = []
+            for t in range(nct):
+                blk = g_ref[0, 0, b2 * TR:(b2 + 1) * TR,
+                            t * TC:(t + 1) * TC,
+                            p * ct:(p + 1) * ct]      # (TR, TC, ct)
+                tiles.append(blk.reshape(TR * TC, ct))
+            sm = jnp.concatenate(tiles, axis=0)       # (m, ct)
+            cm = sm.T                                 # (ct, m)
+            out_ref[:ct, 0, p, b2 * m:(b2 + 1) * m] = cm
+            if cc > ct:
+                out_ref[ct:, 0, p, b2 * m:(b2 + 1) * m] = jnp.zeros(
+                    (cc - ct, m), jnp.float32)
+
+
+def unpack16_to_tiles(g, cc: int, d: int, hp: int, wp: int, ct: int,
+                      interpret: bool | None = None):
+    """packed16 (1, D/16, hp, wp, 16*ct) -> tile-major (cc, N)."""
+    bpp = hp // TR
+    nct = wp // TC
+    m = TR * wp
+    q = 2 if bpp % 2 == 0 else 1
+    g5 = g.reshape(d // 16, bpp // q, q * TR, wp, 16 * ct)
+    kern = functools.partial(_unpack16_kernel, ct=ct, nct=nct, cc=cc,
+                             m=m, q=q)
+    out = pl.pallas_call(
+        kern,
+        grid=(d // 16, bpp // q),
+        in_specs=[pl.BlockSpec((1, 1, q * TR, wp, 16 * ct),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((cc, 1, 16, q * m),
+                               lambda i, j: (0, i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cc, d // 16, 16, bpp * m),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            # the unrolled 16x2 plane/band loop keeps ~30 MB of (m, ct)
+            # temporaries live on the kernel stack
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_auto_interpret(interpret),
+    )(g5)
+    return out.reshape(cc, d * hp * wp)

@@ -136,3 +136,22 @@ def test_xband_packed16_fused_epilogue(monkeypatch):
                             cost_layout="packed16")[0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_pack16_repack_kernel_matches_xla():
+    """The Pallas packed16 repack (interpret) must equal the XLA
+    permutation, and its custom-vjp backward must match XLA AD."""
+    from mvsnerf_tpu.ops.pallas_sweep2 import (_pack16_xla,
+                                               pack16_from_tiles)
+
+    d, hp, wp, ct, cc = 16, 16, 32, 6, 8
+    x = jnp.asarray(RNG.standard_normal((cc, d * hp * wp)).astype(np.float32))
+    ref = _pack16_xla(x, d, hp, wp, ct, cc)
+    out = pack16_from_tiles(x, d, hp, wp, ct, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+    g_ref = jax.grad(lambda v: jnp.sum(
+        _pack16_xla(v, d, hp, wp, ct, cc) ** 2))(x)
+    g_out = jax.grad(lambda v: jnp.sum(
+        pack16_from_tiles(v, d, hp, wp, ct, True) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref))
